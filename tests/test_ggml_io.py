@@ -1,0 +1,152 @@
+"""ggml .bin container round-trip tests (reference format:
+src/whisper.cpp:1503-1974 reader, models/convert-pt-to-ggml.py writer)."""
+
+import io
+
+import numpy as np
+
+from whisper_tpu.checkpoint import ggml_io, init, loader, quant
+from whisper_tpu.checkpoint.init import tiny_test_hparams
+from whisper_tpu.tokenizer import synthetic_vocab
+
+
+def _make_test_tensors(hp, ttype=quant.GGML_TYPE_F32, seed=0):
+    """Fabricate a full tensor dict with correct reference names/shapes."""
+    rng = np.random.default_rng(seed)
+    d, dm = hp.n_audio_state, hp.n_mels
+    t = {}
+
+    def add(name, *shape, qt=None):
+        arr = rng.standard_normal(shape).astype(np.float32) * 0.05
+        t[name] = (arr, qt if qt is not None else ttype)
+
+    # conv/pos/ln are never quantized by the reference quantizer
+    add("encoder.positional_embedding", hp.n_audio_ctx, d, qt=quant.GGML_TYPE_F32)
+    add("encoder.conv1.weight", d, dm, 3, qt=quant.GGML_TYPE_F16)
+    add("encoder.conv1.bias", d, qt=quant.GGML_TYPE_F32)
+    add("encoder.conv2.weight", d, d, 3, qt=quant.GGML_TYPE_F16)
+    add("encoder.conv2.bias", d, qt=quant.GGML_TYPE_F32)
+    add("encoder.ln_post.weight", d, qt=quant.GGML_TYPE_F32)
+    add("encoder.ln_post.bias", d, qt=quant.GGML_TYPE_F32)
+    for i in range(hp.n_audio_layer):
+        p = f"encoder.blocks.{i}"
+        add(f"{p}.attn_ln.weight", d, qt=quant.GGML_TYPE_F32)
+        add(f"{p}.attn_ln.bias", d, qt=quant.GGML_TYPE_F32)
+        add(f"{p}.attn.query.weight", d, d)
+        add(f"{p}.attn.query.bias", d, qt=quant.GGML_TYPE_F32)
+        add(f"{p}.attn.key.weight", d, d)
+        add(f"{p}.attn.value.weight", d, d)
+        add(f"{p}.attn.value.bias", d, qt=quant.GGML_TYPE_F32)
+        add(f"{p}.attn.out.weight", d, d)
+        add(f"{p}.attn.out.bias", d, qt=quant.GGML_TYPE_F32)
+        add(f"{p}.mlp_ln.weight", d, qt=quant.GGML_TYPE_F32)
+        add(f"{p}.mlp_ln.bias", d, qt=quant.GGML_TYPE_F32)
+        add(f"{p}.mlp.0.weight", 4 * d, d)
+        add(f"{p}.mlp.0.bias", 4 * d, qt=quant.GGML_TYPE_F32)
+        add(f"{p}.mlp.2.weight", d, 4 * d)
+        add(f"{p}.mlp.2.bias", d, qt=quant.GGML_TYPE_F32)
+    dt = hp.n_text_state
+    add("decoder.positional_embedding", hp.n_text_ctx, dt, qt=quant.GGML_TYPE_F32)
+    add("decoder.token_embedding.weight", hp.n_vocab, dt)
+    add("decoder.ln.weight", dt, qt=quant.GGML_TYPE_F32)
+    add("decoder.ln.bias", dt, qt=quant.GGML_TYPE_F32)
+    for i in range(hp.n_text_layer):
+        p = f"decoder.blocks.{i}"
+        for prefix in ("attn", "cross_attn"):
+            add(f"{p}.{prefix}_ln.weight", dt, qt=quant.GGML_TYPE_F32)
+            add(f"{p}.{prefix}_ln.bias", dt, qt=quant.GGML_TYPE_F32)
+            add(f"{p}.{prefix}.query.weight", dt, dt)
+            add(f"{p}.{prefix}.query.bias", dt, qt=quant.GGML_TYPE_F32)
+            add(f"{p}.{prefix}.key.weight", dt, dt)
+            add(f"{p}.{prefix}.value.weight", dt, dt)
+            add(f"{p}.{prefix}.value.bias", dt, qt=quant.GGML_TYPE_F32)
+            add(f"{p}.{prefix}.out.weight", dt, dt)
+            add(f"{p}.{prefix}.out.bias", dt, qt=quant.GGML_TYPE_F32)
+        add(f"{p}.mlp_ln.weight", dt, qt=quant.GGML_TYPE_F32)
+        add(f"{p}.mlp_ln.bias", dt, qt=quant.GGML_TYPE_F32)
+        add(f"{p}.mlp.0.weight", 4 * dt, dt)
+        add(f"{p}.mlp.0.bias", 4 * dt, qt=quant.GGML_TYPE_F32)
+        add(f"{p}.mlp.2.weight", dt, 4 * dt)
+        add(f"{p}.mlp.2.bias", dt, qt=quant.GGML_TYPE_F32)
+    return t
+
+
+def _write_checkpoint(hp, tensors):
+    from whisper_tpu.audio.mel import mel_filterbank
+    vocab = synthetic_vocab(hp.n_vocab)
+    buf = io.BytesIO()
+    ggml_io.write_ggml(buf, hp, mel_filterbank(hp.n_mels)[:, :],
+                       vocab.id_to_token[:50256], tensors)
+    buf.seek(0)
+    return buf
+
+
+def test_header_and_vocab_roundtrip():
+    hp = tiny_test_hparams()
+    buf = _write_checkpoint(hp, {})
+    ckpt = ggml_io.read_ggml(buf)
+    assert ckpt.hparams == hp
+    assert ckpt.qnt_version == ggml_io.QNT_VERSION
+    assert len(ckpt.vocab_tokens) == 50256
+    assert ckpt.mel_filters.shape == (hp.n_mels, 201)
+    assert len(ckpt.tensors) == 0  # stub model
+
+
+def test_full_tensor_roundtrip_f32():
+    hp = tiny_test_hparams(n_vocab=51864)
+    tensors = _make_test_tensors(hp)
+    ckpt = ggml_io.read_ggml(_write_checkpoint(hp, tensors))
+    assert len(ckpt.tensors) == len(tensors)
+    for name, (arr, ttype) in tensors.items():
+        rt = ckpt.tensors[name]
+        assert rt.shape == arr.shape
+        if ttype == quant.GGML_TYPE_F32:
+            np.testing.assert_array_equal(rt.to_float32(), arr)
+
+
+def test_loader_builds_pytree():
+    hp = tiny_test_hparams()
+    tensors = _make_test_tensors(hp)
+    model = loader.params_from_checkpoint(
+        ggml_io.read_ggml(_write_checkpoint(hp, tensors)), compute_dtype="float32")
+    assert model.hparams == hp
+    enc = model.params["encoder"]
+    d = hp.n_audio_state
+    assert enc["conv1"]["w"].shape == (3, hp.n_mels, d)
+    assert enc["blocks"]["attn_q"]["w"].shape == (hp.n_audio_layer, d, d)
+    # W transposed to [in, out]: mlp_0 checkpoint is [4d, d] -> [d, 4d]
+    assert enc["blocks"]["mlp_0"]["w"].shape == (hp.n_audio_layer, d, 4 * d)
+    dec = model.params["decoder"]
+    assert dec["token_embed"].shape == (hp.n_vocab, hp.n_text_state)
+    assert dec["blocks"]["cross_k"]["w"].shape == (
+        hp.n_text_layer, hp.n_text_state, hp.n_text_state)
+    # weight values survive the name->pytree mapping (transposed)
+    w_ref = tensors["decoder.blocks.0.mlp.0.weight"][0]
+    np.testing.assert_allclose(dec["blocks"]["mlp_0"]["w"][0], w_ref.T, rtol=1e-6)
+
+
+def test_loader_quantized_q5():
+    hp = tiny_test_hparams()
+    tensors = _make_test_tensors(hp, ttype=quant.GGML_TYPE_Q5_0)
+    model = loader.params_from_checkpoint(
+        ggml_io.read_ggml(_write_checkpoint(hp, tensors)), compute_dtype="float32")
+    w_ref = tensors["encoder.blocks.0.attn.query.weight"][0]
+    w_got = np.asarray(model.params["encoder"]["blocks"]["attn_q"]["w"][0]).T
+    # dequantized weights close to original values within q5 step
+    step = np.abs(w_ref).max() / 15
+    assert np.abs(w_got - w_ref).max() <= step * 1.5
+
+
+def test_random_model_matches_loader_layout():
+    hp = tiny_test_hparams()
+    rnd = init.random_model(hp=hp, compute_dtype="float32")
+    tensors = _make_test_tensors(hp)
+    loaded = loader.params_from_checkpoint(
+        ggml_io.read_ggml(_write_checkpoint(hp, tensors)), compute_dtype="float32")
+    import jax
+    s1 = jax.tree_util.tree_structure(rnd.params)
+    s2 = jax.tree_util.tree_structure(loaded.params)
+    assert s1 == s2
+    shapes1 = jax.tree_util.tree_map(lambda x: x.shape, rnd.params)
+    shapes2 = jax.tree_util.tree_map(lambda x: x.shape, loaded.params)
+    assert shapes1 == shapes2

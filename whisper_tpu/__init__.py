@@ -1,0 +1,38 @@
+"""whisper_tpu — a TPU-native Whisper inference framework.
+
+Built from scratch in JAX/XLA/Pallas with the full capability surface of
+arkCyber/whisper-rust (whisper-rs + whisper.cpp). The reference defines
+*behavior* (see /root/reference and SURVEY.md); the architecture here is
+idiomatic JAX: pure-functional model code, explicit decode state, pjit/mesh
+sharding for scale-out, Pallas kernels for the hot ops.
+
+Layering (mirrors SURVEY.md §1, re-designed TPU-first):
+
+  serving/   CLI, HTTP server, streaming          (reference L6 examples)
+  api        WhisperContext/WhisperState surface   (reference L5 whisper-rs)
+  decoding/  full() orchestrator, beam, filters    (reference L3 whisper.cpp)
+  models/    encoder/decoder/VAD as pure JAX fns   (reference L3 graph builders)
+  ops/       Pallas kernels: attention, mel, dtw   (reference L1 backends)
+  checkpoint ggml .bin reader/writer + quant       (reference L2 ggml/gguf)
+  parallel/  mesh + shardings (DP/TP)              (reference: threads + rpc)
+"""
+
+__version__ = "0.1.0"
+
+# Version of the reference behavior surface this framework reproduces
+# (whisper-rs v0.14.3 over vendored whisper.cpp; /root/reference/Cargo.toml:9-14).
+REFERENCE_VERSION = "whisper-rs 0.14.3 / whisper.cpp 1.7"
+
+from whisper_tpu.config import (  # noqa: F401
+    WhisperHParams,
+    ContextParams,
+    FullParams,
+    VadParams,
+    SamplingStrategy,
+    SAMPLE_RATE,
+    N_FFT,
+    HOP_LENGTH,
+    CHUNK_SIZE,
+)
+from whisper_tpu.tokenizer import WhisperVocab, Tokenizer  # noqa: F401
+from whisper_tpu.api import WhisperContext, WhisperState  # noqa: F401

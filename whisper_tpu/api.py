@@ -1,0 +1,295 @@
+"""Public API: WhisperContext / WhisperState.
+
+Mirrors the reference's Rust surface (whisper-rs):
+- WhisperContext: shared immutable model (src/whisper_ctx_wrapper.rs) —
+  cheap to share across states; weights are read-only device arrays.
+- WhisperState: per-stream mutable inference state
+  (src/whisper_state.rs) — mel, encoder output, KV caches, segments.
+
+The reference requires one state per thread; here a state is just a Python
+object holding device arrays, and every compute call is a pure jitted
+function, so states are trivially independent (SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisper_tpu import config as cfg
+from whisper_tpu.audio import mel as mel_mod
+from whisper_tpu.checkpoint import init as init_mod
+from whisper_tpu.checkpoint import loader as loader_mod
+from whisper_tpu.config import ContextParams, FullParams, WhisperHParams
+from whisper_tpu.models import whisper as model_mod
+from whisper_tpu.tokenizer import Tokenizer, WhisperVocab
+from whisper_tpu.utils.timings import Timings
+
+
+@dataclasses.dataclass
+class TokenData:
+    """Per-token result (reference whisper_token_data, include/whisper.h:168-189)."""
+
+    id: int
+    tid: int          # forced timestamp token id
+    p: float          # probability
+    plog: float       # log prob
+    pt: float         # prob of the timestamp token
+    ptsum: float      # sum prob of all timestamp tokens
+    t0: int = -1      # token-level start time (10 ms units)
+    t1: int = -1
+    t_dtw: int = -1   # DTW timestamp
+    vlen: float = 0.0  # voice length
+
+
+@dataclasses.dataclass
+class Segment:
+    """reference whisper_segment (src/whisper.cpp:494-503)."""
+
+    t0: int           # centiseconds (10 ms units)
+    t1: int
+    text: str
+    tokens: List[TokenData] = dataclasses.field(default_factory=list)
+    speaker_turn_next: bool = False
+    no_speech_prob: float = 0.0
+
+
+class WhisperContext:
+    """Immutable model container + jit caches."""
+
+    def __init__(self, model: loader_mod.LoadedModel, params: Optional[ContextParams] = None):
+        self.cparams = params or ContextParams()
+        self.hparams = model.hparams
+        self.vocab = model.vocab
+        self.tokenizer = Tokenizer(model.vocab)
+        self.mel_filters = model.mel_filters
+        self.n_loaded = model.n_loaded
+        self.dtype = jnp.bfloat16 if self.cparams.dtype == "bfloat16" else jnp.float32
+        # upload weights once; jax caches device placement
+        self.params = jax.tree_util.tree_map(jnp.asarray, model.params) if model.params else {}
+
+    # -- constructors mirroring the reference API ---------------------------
+    @classmethod
+    def new_with_params(cls, path: str, params: Optional[ContextParams] = None) -> "WhisperContext":
+        """reference whisper_init_from_file_with_params (src/whisper.cpp:3640)."""
+        return cls(loader_mod.load_model(path, (params or ContextParams()).dtype), params)
+
+    @classmethod
+    def from_buffer(cls, buf, params: Optional[ContextParams] = None) -> "WhisperContext":
+        """reference whisper_init_from_buffer_with_params (src/whisper.cpp:3680)."""
+        import io
+        ckpt = loader_mod.ggml_io.read_ggml(io.BytesIO(buf))
+        return cls(loader_mod.params_from_checkpoint(
+            ckpt, (params or ContextParams()).dtype), params)
+
+    @classmethod
+    def random(cls, preset: str = "tiny", params: Optional[ContextParams] = None,
+               hp: Optional[WhisperHParams] = None, seed: int = 0) -> "WhisperContext":
+        """Random-weight context (stub-model analogue for tests/benches)."""
+        return cls(init_mod.random_model(preset, seed=seed, hp=hp), params)
+
+    @property
+    def is_stub(self) -> bool:
+        """Zero-tensor checkpoint → skip real decoding (reference
+        n_loaded == 0 short-circuit, src/whisper.cpp:1959-1961, 7364-7369)."""
+        return self.n_loaded == 0
+
+    def is_multilingual(self) -> bool:
+        return self.hparams.is_multilingual
+
+    def tokenize(self, text: str, max_tokens: Optional[int] = None) -> List[int]:
+        toks = self.tokenizer.encode(text)
+        if max_tokens is not None and len(toks) > max_tokens:
+            raise ValueError(f"text tokenizes to {len(toks)} > max {max_tokens}")
+        return toks
+
+    def create_state(self) -> "WhisperState":
+        """reference whisper_init_state (src/whisper.cpp:3390-3561)."""
+        return WhisperState(self)
+
+    # model metadata getters (reference whisper_model_* / whisper_n_*)
+    def n_vocab(self) -> int: return self.hparams.n_vocab
+    def n_audio_ctx(self) -> int: return self.hparams.n_audio_ctx
+    def n_text_ctx(self) -> int: return self.hparams.n_text_ctx
+    def n_len_audio_state(self) -> int: return self.hparams.n_audio_state
+    def model_type(self) -> str: return self.hparams.model_type.value
+
+    # special token getters (reference whisper_token_*)
+    def token_eot(self) -> int: return self.vocab.token_eot
+    def token_sot(self) -> int: return self.vocab.token_sot
+    def token_prev(self) -> int: return self.vocab.token_prev
+    def token_nosp(self) -> int: return self.vocab.token_nosp
+    def token_not(self) -> int: return self.vocab.token_not
+    def token_beg(self) -> int: return self.vocab.token_beg
+    def token_translate(self) -> int: return self.vocab.token_translate
+    def token_transcribe(self) -> int: return self.vocab.token_transcribe
+    def token_lang(self, lang_id: int) -> int: return self.vocab.token_lang(lang_id)
+
+
+class WhisperState:
+    """Per-stream inference state (reference whisper_state,
+    src/whisper.cpp:862-996)."""
+
+    def __init__(self, ctx: WhisperContext):
+        self.ctx = ctx
+        self.mel: Optional[jax.Array] = None   # (n_mels, n_len)
+        self.n_len = 0
+        self.n_len_org = 0
+        self.audio_embed: Optional[jax.Array] = None   # (B, Ta, D)
+        self.cross_k: Optional[jax.Array] = None
+        self.cross_v: Optional[jax.Array] = None
+        self.segments: List[Segment] = []
+        self.lang_id: int = 0
+        self.timings = Timings()
+        self.no_speech_prob: float = 0.0
+        # jitted fns are cached per (ctx id); jax's jit cache dedups by shape
+
+    # ------------------------------------------------------------------ mel
+    def pcm_to_mel(self, samples: np.ndarray) -> None:
+        """reference whisper_pcm_to_mel_with_state (src/whisper.cpp:3985)."""
+        t0 = time.perf_counter()
+        self.mel, self.n_len, self.n_len_org = mel_mod.log_mel_spectrogram(
+            samples, self.ctx.mel_filters)
+        self.mel.block_until_ready()
+        self.timings.add("mel", time.perf_counter() - t0)
+
+    def set_mel(self, mel: np.ndarray, n_len_org: Optional[int] = None) -> None:
+        """reference whisper_set_mel_with_state (src/whisper.cpp:4005-4035)."""
+        mel = jnp.asarray(mel)
+        if mel.shape[0] != self.ctx.hparams.n_mels:
+            raise ValueError(f"invalid n_mels {mel.shape[0]}")
+        self.mel = mel
+        self.n_len = mel.shape[1]
+        self.n_len_org = n_len_org if n_len_org is not None else mel.shape[1]
+
+    def mel_window(self, seek: int, n_ctx_used: Optional[int] = None) -> jax.Array:
+        """Slice mel [seek, seek+2*n_ctx), zero-padded (reference conv graph
+        input handling, src/whisper.cpp:2389-2421). Returns (1, n_mels, 2*ctx)."""
+        hp = self.ctx.hparams
+        n_ctx = n_ctx_used or hp.n_audio_ctx
+        want = 2 * n_ctx
+        mel = self.mel
+        pad = want + max(0, seek)  # always enough
+        padded = jnp.pad(mel, ((0, 0), (0, pad)))
+        win = jax.lax.dynamic_slice(padded, (0, seek), (mel.shape[0], want))
+        return win[None]
+
+    # -------------------------------------------------------------- encode
+    def encode(self, offset: int = 0, n_ctx_used: Optional[int] = None) -> jax.Array:
+        """Run conv+encoder+cross graphs for the 30 s window at mel offset
+        (reference whisper_encode_internal, src/whisper.cpp:2376-2472)."""
+        ctx = self.ctx
+        hp = ctx.hparams
+        t0 = time.perf_counter()
+        mel_win = self.mel_window(offset, n_ctx_used)
+        embed = _encode_jit(ctx.params, hp, mel_win, ctx.dtype)
+        self.audio_embed = embed
+        self.cross_k, self.cross_v = _cross_kv_jit(ctx.params, hp, embed)
+        self.cross_k.block_until_ready()
+        self.timings.add("encode", time.perf_counter() - t0)
+        return embed
+
+    # -------------------------------------------------------------- decode
+    def new_kv_cache(self, batch: int) -> model_mod.KVCache:
+        return model_mod.KVCache.zeros(self.ctx.hparams, batch, self.ctx.dtype)
+
+    def decode(
+        self,
+        tokens: Sequence[int] | np.ndarray,
+        pos0: int,
+        kv: model_mod.KVCache,
+        batch: int = 1,
+    ) -> Tuple[jax.Array, model_mod.KVCache]:
+        """Low-level batched decode (reference whisper_decode_internal,
+        src/whisper.cpp:2864-2993). tokens: (T,) replicated over batch, or
+        (B, T). Returns (logits[B, T, V] f32, updated kv)."""
+        ctx = self.ctx
+        toks = np.asarray(tokens, dtype=np.int32)
+        if toks.ndim == 1:
+            toks = np.broadcast_to(toks, (batch, toks.shape[0]))
+        ck, cv = self.cross_k, self.cross_v
+        if ck.shape[1] != toks.shape[0]:
+            # broadcast cross-kv over decode batch
+            ck = jnp.broadcast_to(ck, ck.shape[:1] + (toks.shape[0],) + ck.shape[2:])
+            cv = jnp.broadcast_to(cv, cv.shape[:1] + (toks.shape[0],) + cv.shape[2:])
+        t0 = time.perf_counter()
+        logits, kv = _decode_jit(
+            ctx.params, ctx.hparams, jnp.asarray(toks), jnp.asarray(pos0, jnp.int32),
+            kv, ck, cv, ctx.dtype)
+        logits.block_until_ready()
+        self.timings.add("decode" if toks.shape[1] == 1 else "prompt",
+                         time.perf_counter() - t0)
+        return logits, kv
+
+    # ---------------------------------------------------------------- full
+    def full(self, params: FullParams, samples: np.ndarray) -> int:
+        """THE main entry point (reference whisper_full_with_state,
+        src/whisper.cpp:6795-7711). Returns 0 on success; segments are
+        available via the getters below."""
+        from whisper_tpu.decoding.loop import run_full
+        self.segments = run_full(self, params, samples)
+        return 0
+
+    # segment getters (reference whisper_full_get_segment_* family)
+    def full_n_segments(self) -> int:
+        return len(self.segments)
+
+    def full_get_segment(self, i: int) -> Segment:
+        return self.segments[i]
+
+    def full_get_segment_text(self, i: int) -> str:
+        return self.segments[i].text
+
+    def full_get_segment_t0(self, i: int) -> int:
+        return self.segments[i].t0
+
+    def full_get_segment_t1(self, i: int) -> int:
+        return self.segments[i].t1
+
+    def full_n_tokens(self, i: int) -> int:
+        return len(self.segments[i].tokens)
+
+    def full_get_token_data(self, i: int, j: int) -> TokenData:
+        return self.segments[i].tokens[j]
+
+    def full_get_token_id(self, i: int, j: int) -> int:
+        return self.segments[i].tokens[j].id
+
+    def full_get_token_text(self, i: int, j: int) -> str:
+        return self.ctx.tokenizer.token_str(self.segments[i].tokens[j].id)
+
+    def full_get_all_text(self) -> str:
+        return "".join(s.text for s in self.segments)
+
+    def lang_detect(self, offset_ms: int = 0) -> Tuple[int, np.ndarray]:
+        from whisper_tpu.decoding.language import lang_auto_detect
+        return lang_auto_detect(self, offset_ms)
+
+    def print_timings(self) -> str:
+        return self.timings.report()
+
+
+# ---------------------------------------------------------------------------
+# jitted kernels (module-level so jax's cache is shared across states)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("hp", "dtype"))
+def _encode_jit(params, hp, mel_win, dtype):
+    return model_mod.encoder_forward(params, hp, mel_win, dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("hp",))
+def _cross_kv_jit(params, hp, embed):
+    return model_mod.cross_attention_kv(params, hp, embed)
+
+
+@functools.partial(jax.jit, static_argnames=("hp", "dtype"), donate_argnames=("kv",))
+def _decode_jit(params, hp, tokens, pos0, kv, cross_k, cross_v, dtype):
+    return model_mod.decode_logits_only(params, hp, tokens, pos0, kv, cross_k, cross_v, dtype)

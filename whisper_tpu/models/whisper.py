@@ -1,0 +1,265 @@
+"""Whisper encoder/decoder as pure JAX functions.
+
+Functional re-design of the reference's ggml graph builders
+(whisper_build_graph_conv src/whisper.cpp:1994-2054, _encoder :2056-2287,
+_cross :2290-2363, _decoder :2474-2851) for TPU execution:
+
+- layers are stacked and executed with `lax.scan` (one compiled block per
+  stack instead of L unrolled graphs; fast compiles even for large-v3's 32
+  layers);
+- all matmuls run in bfloat16 on the MXU with float32 softmax/layernorm;
+- the decoder step keeps its KV cache as explicit arrays threaded through
+  the jitted step function — no host round-trip per token;
+- attention mask logic is positional arithmetic, not the reference's
+  host-built KQ_mask upload (src/whisper.cpp:2924-2956).
+
+Shape conventions: activations (B, T, D); KV caches (L, B, T, H, Dh);
+weights from checkpoint/loader.py with W as [in, out].
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from whisper_tpu.config import WhisperHParams
+
+Params = Dict[str, Any]
+
+
+def layer_norm(x: jax.Array, p: Params, eps: float = 1e-5) -> jax.Array:
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    y = (x32 - mean) * lax.rsqrt(var + eps)
+    return (y * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def linear(x: jax.Array, p: Params) -> jax.Array:
+    y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32)
+    if "b" in p:
+        y = y + p["b"]
+    return y.astype(x.dtype)
+
+
+def _split_heads(x: jax.Array, n_head: int) -> jax.Array:
+    """(B, T, D) -> (B, H, T, Dh)"""
+    b, t, d = x.shape
+    return x.reshape(b, t, n_head, d // n_head).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jax.Array) -> jax.Array:
+    """(B, H, T, Dh) -> (B, T, D)"""
+    b, h, t, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
+
+
+def attention(
+    q: jax.Array,            # (B, H, Tq, Dh)
+    k: jax.Array,            # (B, H, Tk, Dh)
+    v: jax.Array,            # (B, H, Tk, Dh)
+    mask: Optional[jax.Array] = None,  # broadcastable to (B, H, Tq, Tk); True=keep
+) -> jax.Array:
+    """Masked scaled-dot-product attention, f32 softmax. XLA fuses this into
+    two MXU matmuls + a fused softmax; the Pallas flash-attention kernel in
+    ops/flash_attention.py replaces it on the encoder hot path."""
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, -jnp.inf)
+    probs = jax.nn.softmax(logits, axis=-1)
+    # rows that are fully masked produce NaN from softmax(-inf); zero them
+    if mask is not None:
+        probs = jnp.where(jnp.isnan(probs), 0.0, probs)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+def conv_stem(params: Params, mel: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+    """Conv1 (s=1) + GELU + Conv2 (s=2) + GELU.
+    reference whisper_build_graph_conv (src/whisper.cpp:1994-2054).
+    mel: (B, n_mels, 2*n_ctx) -> (B, n_ctx, D)."""
+    x = mel.astype(dtype).transpose(0, 2, 1)  # (B, T, n_mels) NWC
+    dn = lax.conv_dimension_numbers(x.shape, params["conv1"]["w"].shape, ("NWC", "WIO", "NWC"))
+    x = lax.conv_general_dilated(
+        x, params["conv1"]["w"].astype(dtype), window_strides=(1,),
+        padding=((1, 1),), dimension_numbers=dn,
+        preferred_element_type=jnp.float32)
+    x = jax.nn.gelu(x + params["conv1"]["b"], approximate=False).astype(dtype)
+    dn = lax.conv_dimension_numbers(x.shape, params["conv2"]["w"].shape, ("NWC", "WIO", "NWC"))
+    x = lax.conv_general_dilated(
+        x, params["conv2"]["w"].astype(dtype), window_strides=(2,),
+        padding=((1, 1),), dimension_numbers=dn,
+        preferred_element_type=jnp.float32)
+    x = jax.nn.gelu(x + params["conv2"]["b"], approximate=False).astype(dtype)
+    return x
+
+
+def _encoder_block(hp: WhisperHParams, x: jax.Array, blk: Params,
+                   attn_fn=None) -> jax.Array:
+    """Pre-LN self-attention block (reference src/whisper.cpp:2109-2283)."""
+    h = layer_norm(x, blk["attn_ln"], hp.eps)
+    q = _split_heads(linear(h, blk["attn_q"]), hp.n_audio_head)
+    k = _split_heads(linear(h, blk["attn_k"]), hp.n_audio_head)
+    v = _split_heads(linear(h, blk["attn_v"]), hp.n_audio_head)
+    if attn_fn is None:
+        o = attention(q, k, v)
+    else:
+        o = attn_fn(q, k, v)
+    x = x + linear(_merge_heads(o), blk["attn_out"])
+
+    h = layer_norm(x, blk["mlp_ln"], hp.eps)
+    h = jax.nn.gelu(linear(h, blk["mlp_0"]).astype(jnp.float32),
+                    approximate=False).astype(x.dtype)
+    x = x + linear(h, blk["mlp_2"])
+    return x
+
+
+def encoder_forward(
+    params: Params,
+    hp: WhisperHParams,
+    mel: jax.Array,            # (B, n_mels, 2*n_audio_ctx_used)
+    dtype=jnp.bfloat16,
+    attn_fn=None,
+) -> jax.Array:
+    """Full encoder (reference whisper_build_graph_encoder,
+    src/whisper.cpp:2056-2287). Returns (B, n_ctx_used, D)."""
+    enc = params["encoder"]
+    x = conv_stem(enc, mel, dtype)
+    n_ctx_used = x.shape[1]
+    x = x + enc["pos_embed"][:n_ctx_used].astype(dtype)
+
+    def body(carry, blk):
+        return _encoder_block(hp, carry, blk, attn_fn), None
+
+    x, _ = lax.scan(body, x, enc["blocks"])
+    return layer_norm(x, enc["ln_post"], hp.eps)
+
+
+def cross_attention_kv(
+    params: Params,
+    hp: WhisperHParams,
+    audio_embed: jax.Array,    # (B, Ta, D)
+) -> Tuple[jax.Array, jax.Array]:
+    """Precompute cross-attention K/V for every decoder layer from the
+    encoder output (reference whisper_build_graph_cross,
+    src/whisper.cpp:2290-2363; done once per 30 s window).
+    Returns (L, B, H, Ta, Dh) each."""
+    dec = params["decoder"]
+
+    def body(_, blk):
+        k = _split_heads(linear(audio_embed, blk["cross_k"]), hp.n_text_head)
+        v = _split_heads(linear(audio_embed, blk["cross_v"]), hp.n_text_head)
+        return None, (k, v)
+
+    _, (ks, vs) = lax.scan(body, None, dec["blocks"])
+    return ks, vs
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+class KVCache(NamedTuple):
+    """Self-attention KV cache: (L, B, H, Tmax, Dh) arrays.
+
+    Replaces the reference's cell/slot ring allocator
+    (whisper_kv_cache, src/whisper.cpp:998-1187): decode batch entry b IS
+    sequence b, so slot management reduces to a position counter; beam
+    forking (kv_seq_cp, :1121-1167) becomes a gather over the batch axis
+    (see decoding/beam.py)."""
+
+    k: jax.Array
+    v: jax.Array
+
+    @classmethod
+    def zeros(cls, hp: WhisperHParams, batch: int, dtype=jnp.bfloat16) -> "KVCache":
+        shape = (hp.n_text_layer, batch, hp.n_text_head, hp.n_text_ctx,
+                 hp.n_text_state // hp.n_text_head)
+        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+    def reorder(self, src_idx: jax.Array) -> "KVCache":
+        """Beam fork: new cache[b] = old cache[src_idx[b]]."""
+        return KVCache(self.k[:, src_idx], self.v[:, src_idx])
+
+
+def decoder_forward(
+    params: Params,
+    hp: WhisperHParams,
+    tokens: jax.Array,         # (B, T) int32
+    pos0: jax.Array,           # scalar int32 — first position of this chunk
+    kv: KVCache,
+    cross_k: jax.Array,        # (L, B, H, Ta, Dh)
+    cross_v: jax.Array,
+    dtype=jnp.bfloat16,
+) -> Tuple[jax.Array, KVCache, jax.Array]:
+    """Causal decoder over a chunk of T tokens (T=1 for the sampling loop,
+    T=n_prompt for prompt ingestion — the reference's batched decode,
+    src/whisper.cpp:2474-2851 + 2864-2993).
+
+    Returns (logits[B, T, n_vocab] float32, updated KV, cross_qk placeholder).
+    """
+    dec = params["decoder"]
+    B, T = tokens.shape
+    H = hp.n_text_head
+
+    x = dec["token_embed"].astype(dtype)[tokens]          # get_rows (:2504)
+    positions = pos0 + jnp.arange(T)
+    x = x + dec["pos_embed"].astype(dtype)[positions]
+
+    # causal mask against cache positions: query t may attend cache pos <= pos0+t
+    cache_pos = jnp.arange(hp.n_text_ctx)
+    mask = cache_pos[None, :] <= (pos0 + jnp.arange(T))[:, None]  # (T, Tmax)
+    mask = mask[None, None]                                       # (1,1,T,Tmax)
+
+    def body(x, scanned):
+        blk, kv_k_l, kv_v_l, ck, cv = scanned
+        # --- self-attention with KV cache
+        h = layer_norm(x, blk["attn_ln"], hp.eps)
+        q = _split_heads(linear(h, blk["attn_q"]), H)
+        k_new = _split_heads(linear(h, blk["attn_k"]), H)
+        v_new = _split_heads(linear(h, blk["attn_v"]), H)
+        # write new K/V at positions [pos0, pos0+T)
+        kv_k_l = lax.dynamic_update_slice(kv_k_l, k_new, (0, 0, pos0, 0))
+        kv_v_l = lax.dynamic_update_slice(kv_v_l, v_new, (0, 0, pos0, 0))
+        o = attention(q, kv_k_l, kv_v_l, mask)
+        x = x + linear(_merge_heads(o), blk["attn_out"])
+
+        # --- cross-attention (precomputed K/V)
+        h = layer_norm(x, blk["cross_ln"], hp.eps)
+        qc = _split_heads(linear(h, blk["cross_q"]), H)
+        oc = attention(qc, ck, cv)
+        x = x + linear(_merge_heads(oc), blk["cross_out"])
+
+        # --- MLP
+        h = layer_norm(x, blk["mlp_ln"], hp.eps)
+        h = jax.nn.gelu(linear(h, blk["mlp_0"]).astype(jnp.float32),
+                        approximate=False).astype(x.dtype)
+        x = x + linear(h, blk["mlp_2"])
+        return x, (kv_k_l, kv_v_l)
+
+    x, (new_k, new_v) = lax.scan(body, x, (dec["blocks"], kv.k, kv.v, cross_k, cross_v))
+
+    x = layer_norm(x, dec["ln"], hp.eps)
+    # logits for every token in the chunk; callers slice the last row when
+    # sampling (the reference computes only the last row, :2835 — here the
+    # prompt pass wants all rows for scoring, and T=1 in the token loop)
+    logits = jnp.dot(x, dec["token_embed"].astype(x.dtype).T,
+                     preferred_element_type=jnp.float32)
+    return logits, KVCache(new_k, new_v), x
+
+
+def decode_logits_only(params, hp, tokens, pos0, kv, cross_k, cross_v, dtype=jnp.bfloat16):
+    logits, kv, _ = decoder_forward(params, hp, tokens, pos0, kv, cross_k, cross_v, dtype)
+    return logits, kv
