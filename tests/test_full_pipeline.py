@@ -1,0 +1,166 @@
+"""End-to-end full() pipeline tests (reference whisper_full_with_state,
+src/whisper.cpp:6795-7711; test character mirrors the reference's
+stub-model ctest suite, tests/CMakeLists.txt:18-91)."""
+
+import numpy as np
+import pytest
+
+import whisper_tpu as wt
+from whisper_tpu.checkpoint.init import tiny_test_hparams
+from whisper_tpu.config import ContextParams, FullParams, SamplingStrategy
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    return wt.WhisperContext.random(
+        hp=tiny_test_hparams(), params=ContextParams(dtype="float32"), seed=0)
+
+
+@pytest.fixture(scope="module")
+def audio():
+    rng = np.random.default_rng(1)
+    return (0.1 * rng.standard_normal(16000 * 4)).astype(np.float32)
+
+
+def test_greedy_full(ctx, audio):
+    st = ctx.create_state()
+    p = FullParams.default()
+    p.print_progress = False
+    assert st.full(p, audio) == 0
+    assert st.full_n_segments() >= 1
+    for i in range(st.full_n_segments()):
+        s = st.full_get_segment(i)
+        assert s.t1 > s.t0 >= 0
+        assert isinstance(s.text, str)
+        assert len(s.tokens) > 0
+    # all-text getter concatenates segments
+    assert st.full_get_all_text() == "".join(
+        st.full_get_segment_text(i) for i in range(st.full_n_segments()))
+
+
+def test_greedy_deterministic(ctx, audio):
+    p = FullParams.default()
+    p.print_progress = False
+    st1, st2 = ctx.create_state(), ctx.create_state()
+    st1.full(p, audio)
+    st2.full(p, audio)
+    assert st1.full_get_all_text() == st2.full_get_all_text()
+
+
+def test_token_data_fields(ctx, audio):
+    st = ctx.create_state()
+    p = FullParams.default()
+    p.print_progress = False
+    st.full(p, audio)
+    td = st.full_get_token_data(0, 0)
+    assert 0 <= td.p <= 1.0
+    assert td.plog <= 0.0
+    assert 0 <= td.pt <= 1.0 + 1e-6
+    assert td.tid >= ctx.token_beg()
+
+
+def test_beam_search_full(ctx, audio):
+    st = ctx.create_state()
+    p = FullParams.default(SamplingStrategy.BEAM_SEARCH)
+    p.beam_search.beam_size = 3
+    p.print_progress = False
+    assert st.full(p, audio) == 0
+    assert st.full_n_segments() >= 1
+
+
+def test_short_input_returns_no_segments(ctx):
+    st = ctx.create_state()
+    p = FullParams.default()
+    p.print_progress = False
+    st.full(p, np.zeros(800, np.float32))  # 50 ms < 100 ms minimum
+    assert st.full_n_segments() == 0
+
+
+def test_stub_model_skips_decode(audio):
+    """Zero-tensor checkpoint exercises the full pipeline without weights
+    (reference n_loaded == 0 short-circuit)."""
+    import io
+    from whisper_tpu.audio.mel import mel_filterbank
+    from whisper_tpu.checkpoint import ggml_io
+    hp = tiny_test_hparams()
+    buf = io.BytesIO()
+    ggml_io.write_ggml(buf, hp, mel_filterbank(80), [b"t"] * 300, {})
+    buf.seek(0)
+    ctx = wt.WhisperContext.from_buffer(buf.getvalue(),
+                                        ContextParams(dtype="float32"))
+    assert ctx.is_stub
+    st = ctx.create_state()
+    p = FullParams.default()
+    p.print_progress = False
+    assert st.full(p, audio) == 0
+    assert st.full_n_segments() == 0
+
+
+def test_offset_and_duration(ctx, audio):
+    st = ctx.create_state()
+    p = FullParams.default()
+    p.print_progress = False
+    p.offset_ms = 1000
+    p.duration_ms = 2000
+    st.full(p, audio)
+    for i in range(st.full_n_segments()):
+        assert st.full_get_segment_t0(i) >= 100  # >= offset in centiseconds
+
+
+def test_callbacks_and_abort(ctx, audio):
+    st = ctx.create_state()
+    p = FullParams.default()
+    p.print_progress = False
+    events = []
+    p.progress_callback = lambda c, s, pct: events.append(("progress", pct))
+    p.new_segment_callback = lambda c, s, seg: events.append(("segment", seg.text))
+    p.encoder_begin_callback = lambda c, s: True
+    st.full(p, audio)
+    assert any(e[0] == "progress" for e in events)
+    assert any(e[0] == "segment" for e in events)
+    # encoder_begin returning False aborts before decoding
+    st2 = ctx.create_state()
+    p2 = FullParams.default()
+    p2.print_progress = False
+    p2.encoder_begin_callback = lambda c, s: False
+    st2.full(p2, audio)
+    assert st2.full_n_segments() == 0
+
+
+def test_single_segment_mode(ctx, audio):
+    st = ctx.create_state()
+    p = FullParams.default()
+    p.print_progress = False
+    p.single_segment = True
+    st.full(p, audio)
+    assert st.full_n_segments() <= 1
+
+
+def test_no_timestamps_mode(ctx, audio):
+    st = ctx.create_state()
+    p = FullParams.default()
+    p.print_progress = False
+    p.no_timestamps = True
+    st.full(p, audio)
+    # segments may exist; none of their tokens may be timestamp tokens
+    for i in range(st.full_n_segments()):
+        for td in st.full_get_segment(i).tokens:
+            assert td.id < ctx.token_beg()
+
+
+def test_initial_prompt(ctx, audio):
+    st = ctx.create_state()
+    p = FullParams.default()
+    p.print_progress = False
+    p.initial_prompt = "hello"
+    assert st.full(p, audio) == 0
+
+
+def test_lang_detect_multilingual(audio):
+    hp = tiny_test_hparams(n_vocab=51865)
+    mctx = wt.WhisperContext.random(hp=hp, params=ContextParams(dtype="float32"))
+    st = mctx.create_state()
+    st.pcm_to_mel(audio)
+    lang_id, probs = st.lang_detect()
+    assert 0 <= lang_id <= 99
+    np.testing.assert_allclose(probs.sum(), 1.0, rtol=1e-4)

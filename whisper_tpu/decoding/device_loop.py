@@ -1,0 +1,327 @@
+"""On-device decode loop for one 30 s window at one temperature.
+
+TPU-native replacement for the reference's host token loop
+(whisper_full_with_state inner loop, src/whisper.cpp:7115-7477). The
+reference crosses the device boundary twice per token (logits D2H, next
+token H2D, :2910-2971); here the ENTIRE window decode — prompt ingestion,
+logit filtering, sampling (greedy / multinomial / beam-search with KV
+reorder), per-decoder state machine — runs inside ONE jitted function built
+around `lax.while_loop`. Only the final token buffers cross back to the
+host, once per (window × temperature).
+
+Matching reference semantics:
+- sampling: whisper_sample_token{,_topk} (:6432-6563)
+- beam candidate sort + dedup + KV fork: (:7239-7290), with the KV
+  seq-copy replaced by a batch-axis gather (models/whisper.py KVCache)
+- per-decoder update rules (timestamp/seek_delta/completed/failed):
+  (:7297-7378)
+- no_speech_prob from the prompt-pass NOSP logit (:7124-7134)
+
+Deviation (documented): when beam candidates run dry after dedup the
+reference wraps and reuses candidates (:7262-7264); here leftover slots
+re-take the best candidate. Both paths only trigger with degenerate
+distributions (k*k candidates all identical).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from whisper_tpu.config import CHUNK_SIZE, WhisperHParams
+from whisper_tpu.decoding.filters import FilterConsts, TokenIds, apply_filters, timestamp_stats
+from whisper_tpu.models import whisper as model_mod
+from whisper_tpu.models.whisper import KVCache
+
+NEG_INF = float("-inf")
+DELTA_MIN = 10           # 100 ms guard (reference :6847)
+HASH_MULT = jnp.uint32(1000003)
+
+# sampling strategies (static)
+GREEDY_BEST = 0   # t == 0, argmax
+SAMPLE = 1        # t > 0, multinomial over filtered probs
+BEAM = 2          # beam search (t == 0 under BEAM_SEARCH strategy)
+
+
+class WindowResult(NamedTuple):
+    tokens: jax.Array        # (B, N_MAX) i32
+    tok_p: jax.Array         # (B, N_MAX) f32
+    tok_plog: jax.Array      # (B, N_MAX) f32
+    tok_pt: jax.Array        # (B, N_MAX) f32
+    tok_ptsum: jax.Array     # (B, N_MAX) f32
+    tok_tid: jax.Array       # (B, N_MAX) i32
+    n_tokens: jax.Array      # () i32 — loop steps executed
+    result_len: jax.Array    # (B,) i32
+    seek_delta: jax.Array    # (B,) i32
+    failed: jax.Array        # (B,) bool
+    completed: jax.Array     # (B,) bool
+    sum_logprobs_all: jax.Array  # (B,) f32
+    no_speech_prob: jax.Array    # () f32
+
+
+class _LoopState(NamedTuple):
+    i: jax.Array
+    kv: KVCache
+    logits: jax.Array        # (B, V) raw logits for next sample
+    tokens: jax.Array
+    tok_p: jax.Array
+    tok_plog: jax.Array
+    tok_pt: jax.Array
+    tok_ptsum: jax.Array
+    tok_tid: jax.Array
+    sum_logprobs_all: jax.Array
+    seek_delta: jax.Array
+    has_ts: jax.Array
+    failed: jax.Array
+    completed: jax.Array
+    result_len: jax.Array
+    last_token: jax.Array    # (B,) i32
+    prefix_hash: jax.Array   # (B,) u32
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("hp", "tids", "n_dec", "strategy", "beam_size", "max_tokens",
+                     "single_segment", "no_timestamps", "dtype"),
+)
+def decode_window(
+    params,
+    hp: WhisperHParams,
+    consts: FilterConsts,
+    cross_k, cross_v,        # (L, 1, H, Ta, Dh) — broadcast over decoders here
+    prompt: jax.Array,       # (PROMPT_MAX,) i32, right-padded
+    prompt_len: jax.Array,   # () i32
+    kv: KVCache,             # (L, B, H, Tmax, Dh)
+    temperature: jax.Array,  # () f32
+    seek: jax.Array,         # () i32
+    seek_end: jax.Array,     # () i32
+    rng_key: jax.Array,
+    *,
+    tids: TokenIds,
+    n_dec: int,
+    strategy: int,
+    beam_size: int = 5,
+    max_tokens: int = 0,
+    single_segment: bool = False,
+    no_timestamps: bool = False,
+    dtype=jnp.bfloat16,
+) -> WindowResult:
+    V = tids.n_vocab
+    B = n_dec
+    n_max = hp.n_text_ctx // 2 - 4           # reference :7157
+
+    # ---- prompt pass (batch 1, then broadcast KV over decoders ----------
+    # mirrors the reference decoding the prompt once on decoder 0 and
+    # kv_seq_cp'ing to the others (:7115-7154)
+    kv1 = KVCache(kv.k[:, :1], kv.v[:, :1])
+    logits_p, kv1, _ = model_mod.decoder_forward(
+        params, hp, prompt[None, :], jnp.int32(0), kv1, cross_k, cross_v, dtype)
+    last_row = lax.dynamic_slice_in_dim(
+        logits_p, prompt_len - 1, 1, axis=1)[:, 0]       # (1, V)
+
+    # no_speech prob BEFORE any filtering (reference :7124-7134)
+    no_speech_prob = jax.nn.softmax(last_row[0].astype(jnp.float32))[tids.nosp]
+
+    kv = KVCache(
+        jnp.broadcast_to(kv1.k, (kv.k.shape[0], B) + kv1.k.shape[2:]).astype(kv.k.dtype),
+        jnp.broadcast_to(kv1.v, (kv.v.shape[0], B) + kv1.v.shape[2:]).astype(kv.v.dtype),
+    )
+    logits0 = jnp.broadcast_to(last_row, (B, V)).astype(jnp.float32)
+
+    ck = jnp.broadcast_to(cross_k, cross_k.shape[:1] + (B,) + cross_k.shape[2:])
+    cv = jnp.broadcast_to(cross_v, cross_v.shape[:1] + (B,) + cross_v.shape[2:])
+
+    state = _LoopState(
+        i=jnp.int32(0),
+        kv=kv,
+        logits=logits0,
+        tokens=jnp.zeros((B, n_max), jnp.int32),
+        tok_p=jnp.zeros((B, n_max), jnp.float32),
+        tok_plog=jnp.zeros((B, n_max), jnp.float32),
+        tok_pt=jnp.zeros((B, n_max), jnp.float32),
+        tok_ptsum=jnp.zeros((B, n_max), jnp.float32),
+        tok_tid=jnp.zeros((B, n_max), jnp.int32),
+        sum_logprobs_all=jnp.zeros(B, jnp.float32),
+        seek_delta=jnp.full(B, 100 * CHUNK_SIZE, jnp.int32),
+        has_ts=jnp.zeros(B, bool),
+        failed=jnp.zeros(B, bool),
+        completed=jnp.zeros(B, bool),
+        result_len=jnp.zeros(B, jnp.int32),
+        last_token=jnp.zeros(B, jnp.int32),
+        prefix_hash=jnp.zeros(B, jnp.uint32),
+    )
+
+    def cond(st: _LoopState):
+        return (st.i < n_max) & ~jnp.all(st.completed | st.failed)
+
+    def body(st: _LoopState):
+        i = st.i
+        live = ~(st.completed | st.failed)                      # (B,)
+
+        is_initial = i == 0
+        last_was_ts = jnp.where(i > 0,
+                                st.tokens[:, jnp.maximum(i - 1, 0)] >= tids.beg,
+                                False)
+        penult_was_ts = jnp.where(i >= 2,
+                                  st.tokens[:, jnp.maximum(i - 2, 0)] >= tids.beg,
+                                  True)                          # <2 tokens -> true (:6264)
+
+        lg, logprobs, probs = apply_filters(
+            st.logits, consts, tids,
+            is_initial=jnp.broadcast_to(is_initial, (B,)),
+            last_was_ts=last_was_ts,
+            penult_was_ts=penult_was_ts,
+            has_ts=st.has_ts,
+            seek_delta=st.seek_delta,
+            temperature=temperature,
+        )
+        pt, ptsum, tid = timestamp_stats(probs, tids)
+
+        key = jax.random.fold_in(rng_key, i)
+
+        if strategy == GREEDY_BEST:
+            tok = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+            src = jnp.arange(B)
+        elif strategy == SAMPLE:
+            g = jax.random.gumbel(key, (B, V))
+            tok = jnp.argmax(jnp.where(jnp.isinf(logprobs), NEG_INF, logprobs + g),
+                             axis=-1).astype(jnp.int32)
+            src = jnp.arange(B)
+        else:  # BEAM
+            k = beam_size
+            top_lp, top_id = lax.top_k(logprobs, k)             # (B, k)
+            cand_score = (st.sum_logprobs_all[:, None] + top_lp).reshape(-1)
+            cand_score = jnp.where(jnp.repeat(live, k), cand_score, NEG_INF)
+            cand_tok = top_id.reshape(-1).astype(jnp.int32)
+            cand_src = jnp.repeat(jnp.arange(B), k)
+            cand_hash = st.prefix_hash[cand_src] * HASH_MULT + cand_tok.astype(jnp.uint32)
+
+            order = jnp.argsort(-cand_score, stable=True)       # ties: lower idx first
+
+            n_live = jnp.sum(live.astype(jnp.int32))
+
+            def sel_body(c, sel):
+                count, s_src, s_tok, s_hash = sel
+                idx = order[c]
+                h = cand_hash[idx]
+                dup = jnp.any((s_hash == h) & (jnp.arange(B) < count)) & (i > 0)
+                ok = (cand_score[idx] > NEG_INF) & ~dup & (count < n_live)
+                s_src = jnp.where(ok, s_src.at[count].set(cand_src[idx]), s_src)
+                s_tok = jnp.where(ok, s_tok.at[count].set(cand_tok[idx]), s_tok)
+                s_hash = jnp.where(ok, s_hash.at[count].set(h), s_hash)
+                return (count + ok.astype(jnp.int32), s_src, s_tok, s_hash)
+
+            count, s_src, s_tok, s_hash = lax.fori_loop(
+                0, B * k, sel_body,
+                (jnp.int32(0),
+                 jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32),
+                 jnp.zeros(B, jnp.uint32)))
+            # leftover slots (dedup exhausted candidates): reuse best candidate
+            best = order[0]
+            rank_ok = jnp.arange(B) < count
+            s_src = jnp.where(rank_ok, s_src, cand_src[best])
+            s_tok = jnp.where(rank_ok, s_tok, cand_tok[best])
+
+            # map nth selected candidate -> nth live decoder slot
+            rank = jnp.cumsum(live.astype(jnp.int32)) - 1       # (B,) rank among live
+            src = jnp.where(live, s_src[jnp.clip(rank, 0, B - 1)], jnp.arange(B))
+            tok = jnp.where(live, s_tok[jnp.clip(rank, 0, B - 1)], st.last_token)
+
+            # fork: gather every per-decoder datum from the source beam
+            st = st._replace(
+                kv=st.kv.reorder(src),
+                tokens=st.tokens[src],
+                tok_p=st.tok_p[src], tok_plog=st.tok_plog[src],
+                tok_pt=st.tok_pt[src], tok_ptsum=st.tok_ptsum[src],
+                tok_tid=st.tok_tid[src],
+                sum_logprobs_all=st.sum_logprobs_all[src],
+                seek_delta=st.seek_delta[src], has_ts=st.has_ts[src],
+                result_len=st.result_len[src],
+                prefix_hash=st.prefix_hash[src] * HASH_MULT + tok.astype(jnp.uint32),
+            )
+            logprobs = logprobs[src]
+            probs = probs[src]
+            pt, ptsum, tid = pt[src], ptsum[src], tid[src]
+
+        p_tok = jnp.take_along_axis(probs, tok[:, None], axis=-1)[:, 0]
+        plog_tok = jnp.take_along_axis(logprobs, tok[:, None], axis=-1)[:, 0]
+        # sampled timestamp overrides the stats token (:6481-6484)
+        is_ts = tok >= tids.beg
+        tid = jnp.where(is_ts, tok, tid).astype(jnp.int32)
+        pt = jnp.where(is_ts, p_tok, pt)
+
+        # ---- append token for live decoders --------------------------------
+        tokens = st.tokens.at[:, i].set(jnp.where(live, tok, st.tokens[:, i]))
+        tok_p = st.tok_p.at[:, i].set(jnp.where(live, p_tok, st.tok_p[:, i]))
+        tok_plog = st.tok_plog.at[:, i].set(jnp.where(live, plog_tok, st.tok_plog[:, i]))
+        tok_pt = st.tok_pt.at[:, i].set(jnp.where(live, pt, st.tok_pt[:, i]))
+        tok_ptsum = st.tok_ptsum.at[:, i].set(jnp.where(live, ptsum, st.tok_ptsum[:, i]))
+        tok_tid = st.tok_tid.at[:, i].set(jnp.where(live, tid, st.tok_tid[:, i]))
+        sum_lp = jnp.where(live, st.sum_logprobs_all + plog_tok, st.sum_logprobs_all)
+
+        # ---- per-decoder state machine (:7297-7378) ------------------------
+        has_ts, failed, completed = st.has_ts, st.failed, st.completed
+        seek_delta, result_len = st.seek_delta, st.result_len
+
+        is_ts_tok = live & (tok > tids.beg)     # strictly > beg (:7317)
+        sd_new = 2 * (tok - tids.beg)
+        regress = is_ts_tok & has_ts & (seek_delta > sd_new) & (result_len < i)
+        failed = failed | regress
+        ok_ts = is_ts_tok & ~regress
+        seek_delta = jnp.where(ok_ts, sd_new, seek_delta)
+        result_len = jnp.where(ok_ts, i + 1, result_len)
+        has_ts = has_ts | ok_ts
+
+        live2 = live & ~regress
+        end_of_audio = has_ts & (seek + seek_delta + DELTA_MIN >= seek_end)
+        hit_max = (max_tokens > 0) & (i >= max_tokens)
+        eos = live2 & ((tok == tids.eot) | hit_max | end_of_audio)
+
+        # result_len == 0 handling at end-of-segment (:7341-7351)
+        rl0 = eos & (result_len == 0) & (not no_timestamps)
+        rl0_ok = rl0 & (seek + seek_delta + DELTA_MIN >= seek_end)
+        rl0_fail = rl0 & ~rl0_ok
+        result_len = jnp.where(rl0_ok, i + 1, result_len)
+        failed = failed | rl0_fail
+        eos = eos & ~rl0_fail
+
+        if single_segment or no_timestamps:
+            result_len = jnp.where(eos, i + 1, result_len)
+            seek_delta = jnp.where(eos, 100 * CHUNK_SIZE, seek_delta)
+        completed = completed | eos
+
+        # repetition-loop bail-out on the last step (:7364-7377)
+        last_step = i == n_max - 1
+        rep = last_step & live2 & ~eos & (
+            (result_len == 0) | (seek_delta < 100 * CHUNK_SIZE // 2))
+        failed = failed | rep
+
+        # ---- next decode step ---------------------------------------------
+        next_tok = jnp.where(live, tok, st.last_token)
+        pos = prompt_len + i
+        lg_next, kv_next = model_mod.decode_logits_only(
+            params, hp, next_tok[:, None], pos, st.kv, ck, cv, dtype)
+
+        return _LoopState(
+            i=i + 1, kv=kv_next, logits=lg_next[:, 0],
+            tokens=tokens, tok_p=tok_p, tok_plog=tok_plog,
+            tok_pt=tok_pt, tok_ptsum=tok_ptsum, tok_tid=tok_tid,
+            sum_logprobs_all=sum_lp, seek_delta=seek_delta, has_ts=has_ts,
+            failed=failed, completed=completed, result_len=result_len,
+            last_token=next_tok, prefix_hash=st.prefix_hash,
+        )
+
+    final = lax.while_loop(cond, body, state)
+
+    return WindowResult(
+        tokens=final.tokens, tok_p=final.tok_p, tok_plog=final.tok_plog,
+        tok_pt=final.tok_pt, tok_ptsum=final.tok_ptsum, tok_tid=final.tok_tid,
+        n_tokens=final.i, result_len=final.result_len,
+        seek_delta=final.seek_delta, failed=final.failed,
+        completed=final.completed, sum_logprobs_all=final.sum_logprobs_all,
+        no_speech_prob=no_speech_prob,
+    )

@@ -1,0 +1,216 @@
+"""Logit-filter pipeline — vectorized, jittable.
+
+Reproduces the reference's whisper_process_logits rule set IN ORDER
+(src/whisper.cpp:6183-6417); this ordering is where WER parity is won or
+lost (SURVEY.md §7 hard parts):
+
+ 1. suppress blank at initial step (EOT + " ")            (:6186-6193)
+ 2. suppress <|notimestamps|>; all timestamps if no_timestamps (:6195-6202)
+ 3. suppress SOT, NOSP                                    (:6204-6206)
+ 4. suppress SOLM unless tdrz                             (:6208-6211)
+ 5. suppress task tokens translate/transcribe/prev        (:6213-6222)
+ 6. suppress lang tokens                                  (:6218-6220)
+ 7. user logits_filter_callback                           (:6224-6226) [host path]
+ 8. suppress_regex matches                                (:6228-6237) [static mask]
+ 9. suppress non-speech tokens if suppress_nst            (:6239-6259) [static mask]
+10. timestamp pairing rules                               (:6262-6281)
+11. max_initial_ts at initial step                        (:6283-6292)
+12. monotonic timestamps (>= seek_delta/2 when has_ts)    (:6294-6302)
+13. log_softmax -> logprobs                               (:6305)
+14. timestamp-vs-text logsumexp rule                      (:6307-6358)
+15. (grammar penalty — host path, decoding/grammar.py)
+
+Static rules (1-9, 11) are precomputed into boolean masks host-side once per
+(vocab, params); dynamic rules (10, 12, 14) depend on per-decoder state and
+are computed on device each step. -inf suppression is jnp.where against
+NEG_INF so the subsequent softmax matches the C code's -INFINITY handling.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisper_tpu.config import CHUNK_SIZE, FullParams, WhisperHParams
+from whisper_tpu.tokenizer import WhisperVocab
+
+NEG_INF = float("-inf")
+
+# reference src/whisper.cpp:6102-6107
+NON_SPEECH_TOKENS = [
+    "\"", "#", "(", ")", "*", "+", "/", ":", ";", "<", "=", ">", "@", "[",
+    "\\", "]", "^", "_", "`", "{", "|", "}", "~", "「", "」", "『", "』",
+    "<<", ">>", "<<<", ">>>", "--", "---", "-(", "-[", "('", "(\"", "((",
+    "))", "(((", ")))", "[[", "]]", "{{", "}}", "♪♪", "♪♪♪", "♩", "♪",
+    "♫", "♬", "♭", "♮", "♯",
+]
+
+
+class TokenIds(NamedTuple):
+    """Static (hashable) special-token ids — compile-time constants."""
+
+    eot: int
+    beg: int
+    nosp: int
+    n_vocab: int
+
+
+class FilterConsts(NamedTuple):
+    """Device-resident constants driving the per-step filter kernel."""
+
+    suppress_always: jax.Array   # (V,) bool — rules 2-6, 8, 9
+    suppress_initial: jax.Array  # (V,) bool — rule 1 (blank) + rule 11 (max_initial_ts)
+
+
+def build_filter_consts(
+    vocab: WhisperVocab,
+    hp: WhisperHParams,
+    params: FullParams,
+) -> FilterConsts:
+    V = vocab.n_vocab
+    always = np.zeros(V, bool)
+    initial = np.zeros(V, bool)
+
+    # rule 1: suppress blank at initial (EOT + " ")
+    if params.suppress_blank:
+        initial[vocab.token_eot] = True
+        space = vocab.token_to_id.get(b" ")
+        if space is not None:
+            initial[space] = True
+
+    # rule 2: <|notimestamps|> always; all timestamps if no_timestamps
+    always[vocab.token_not] = True
+    if params.no_timestamps:
+        always[vocab.token_beg :] = True
+
+    # rules 3-6
+    always[vocab.token_sot] = True
+    always[vocab.token_nosp] = True
+    if not params.tdrz_enable:
+        always[vocab.token_solm] = True
+    always[vocab.token_translate] = True
+    always[vocab.token_transcribe] = True
+    always[vocab.token_prev] = True
+    for lang_id in range(100):
+        t = vocab.token_lang(lang_id)
+        if t < V:
+            always[t] = True
+
+    # rule 8: suppress_regex (matched against token text, like std::regex_match)
+    if params.suppress_regex:
+        pat = re.compile(params.suppress_regex)
+        for tok, tid in vocab.token_to_id.items():
+            try:
+                text = tok.decode("utf-8")
+            except UnicodeDecodeError:
+                continue
+            if pat.fullmatch(text):
+                always[tid] = True
+
+    # rule 9: non-speech tokens
+    if params.suppress_nst:
+        for t in NON_SPEECH_TOKENS:
+            for s in (t, " " + t):
+                tid = vocab.token_to_id.get(s.encode("utf-8"))
+                if tid is not None:
+                    always[tid] = True
+        for s in (" -", " '"):
+            tid = vocab.token_to_id.get(s.encode("utf-8"))
+            if tid is not None:
+                always[tid] = True
+
+    # rule 11: initial timestamp cap (max_initial_ts)
+    if params.max_initial_ts > 0:
+        precision = float(CHUNK_SIZE) / hp.n_audio_ctx
+        tid0 = int(round(params.max_initial_ts / precision))
+        initial[vocab.token_beg + tid0 + 1 :] = True
+
+    return (
+        FilterConsts(
+            suppress_always=jnp.asarray(always),
+            suppress_initial=jnp.asarray(initial),
+        ),
+        TokenIds(eot=vocab.token_eot, beg=vocab.token_beg,
+                 nosp=vocab.token_nosp, n_vocab=V),
+    )
+
+
+def apply_filters(
+    logits: jax.Array,        # (B, V) f32 — raw model logits for the last token
+    consts: FilterConsts,
+    tid_consts: TokenIds,
+    *,
+    is_initial: jax.Array,    # (B,) bool — no sampled tokens yet
+    last_was_ts: jax.Array,   # (B,) bool — last sampled token >= beg
+    penult_was_ts: jax.Array, # (B,) bool — 2nd-to-last >= beg (or <2 tokens)
+    has_ts: jax.Array,        # (B,) bool — a timestamp was sampled this segment
+    seek_delta: jax.Array,    # (B,) i32 — current per-decoder seek delta
+    temperature: jax.Array,   # scalar f32
+):
+    """Returns (logits, logprobs, probs) after the full ordered rule set.
+
+    Fully vectorized over the decoder batch: every rule is a masked where,
+    fused by XLA into the surrounding softmax — the reference loops over the
+    51 k-entry vocab on the CPU per decoder per token (:6183-6358).
+    """
+    V = tid_consts.n_vocab
+    beg = tid_consts.beg
+    ids = jnp.arange(V)
+    is_ts_token = ids >= beg  # (V,)
+
+    # temperature scaling (reference :6170-6174, applied before the filters)
+    logits = jnp.where(temperature > 0.0, logits / jnp.maximum(temperature, 1e-8), logits)
+
+    # static rules
+    logits = jnp.where(consts.suppress_always[None, :], NEG_INF, logits)
+    logits = jnp.where(is_initial[:, None] & consts.suppress_initial[None, :],
+                       NEG_INF, logits)
+
+    # rule 10: timestamp pairing
+    #   last && penultimate were ts -> no more timestamps
+    #   last was ts, penultimate wasn't -> only timestamps or EOT
+    suppress_ts = (last_was_ts & penult_was_ts)[:, None] & is_ts_token[None, :]
+    text_and_not_eot = (~is_ts_token & (ids < tid_consts.eot))[None, :]
+    suppress_text = (last_was_ts & ~penult_was_ts)[:, None] & text_and_not_eot
+    logits = jnp.where(suppress_ts | suppress_text, NEG_INF, logits)
+
+    # rule 12: monotonic timestamps
+    tid0 = seek_delta // 2                                    # (B,)
+    mono = is_ts_token[None, :] & (ids[None, :] < beg + tid0[:, None])
+    logits = jnp.where(has_ts[:, None] & mono, NEG_INF, logits)
+
+    # rule 13: log-softmax (matches whisper_compute_logprobs :6110-6129)
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+
+    # rule 14: timestamp-vs-text logsumexp
+    ts_logprob = jax.nn.logsumexp(jnp.where(is_ts_token[None, :], logprobs, NEG_INF),
+                                  axis=-1)                     # (B,)
+    max_text = jnp.max(jnp.where(is_ts_token[None, :], NEG_INF, logprobs), axis=-1)
+    force_ts = ts_logprob > max_text                           # (B,)
+    kill_text = force_ts[:, None] & ~is_ts_token[None, :]
+    logits = jnp.where(kill_text, NEG_INF, logits)
+    logprobs = jnp.where(kill_text, NEG_INF, logprobs)
+
+    probs = jnp.where(jnp.isinf(logprobs), 0.0, jnp.exp(logprobs))
+    return logits, logprobs, probs
+
+
+def timestamp_stats(probs: jax.Array, tid_consts: TokenIds):
+    """(pt, ptsum, tid): max/sum of timestamp-token probabilities and argmax
+    timestamp id (reference whisper_sample_token :6447-6465)."""
+    V = tid_consts.n_vocab
+    ids = jnp.arange(V)
+    is_ts = ids >= tid_consts.beg
+    ts_probs = jnp.where(is_ts[None, :], probs, 0.0)
+    ptsum = jnp.sum(ts_probs, axis=-1)
+    max_ts = jnp.max(ts_probs, axis=-1)
+    # all-zero timestamp mass (f32 underflow) -> default to BEG rather than
+    # argmax's index 0, so downstream t0 math stays sane
+    tid = jnp.where(max_ts > 0, jnp.argmax(ts_probs, axis=-1), tid_consts.beg)
+    pt = max_ts / (ptsum + 1e-10)
+    return pt, ptsum, tid

@@ -184,8 +184,14 @@ class KVCache(NamedTuple):
     v: jax.Array
 
     @classmethod
-    def zeros(cls, hp: WhisperHParams, batch: int, dtype=jnp.bfloat16) -> "KVCache":
-        shape = (hp.n_text_layer, batch, hp.n_text_head, hp.n_text_ctx,
+    def zeros(cls, hp: WhisperHParams, batch: int, dtype=jnp.bfloat16,
+              size: int = 0) -> "KVCache":
+        # pad to 256 like the reference (GGML_PAD(n_text_ctx, 256),
+        # src/whisper.cpp:3403-3438): prompt (≤ n_text_ctx/2 + init) plus
+        # n_text_ctx/2-4 sampled tokens can exceed n_text_ctx slots
+        if size <= 0:
+            size = -(-hp.n_text_ctx // 256) * 256
+        shape = (hp.n_text_layer, batch, hp.n_text_head, size,
                  hp.n_text_state // hp.n_text_head)
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
@@ -215,11 +221,13 @@ def decoder_forward(
     H = hp.n_text_head
 
     x = dec["token_embed"].astype(dtype)[tokens]          # get_rows (:2504)
-    positions = pos0 + jnp.arange(T)
+    # clamp like ggml_get_rows' bounds behavior — positions past n_text_ctx
+    # can only arise in the padded tail of an overlong prompt
+    positions = jnp.minimum(pos0 + jnp.arange(T), hp.n_text_ctx - 1)
     x = x + dec["pos_embed"].astype(dtype)[positions]
 
     # causal mask against cache positions: query t may attend cache pos <= pos0+t
-    cache_pos = jnp.arange(hp.n_text_ctx)
+    cache_pos = jnp.arange(kv.k.shape[3])
     mask = cache_pos[None, :] <= (pos0 + jnp.arange(T))[:, None]  # (T, Tmax)
     mask = mask[None, None]                                       # (1,1,T,Tmax)
 
