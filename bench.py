@@ -1,0 +1,185 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Methodology mirrors the reference's bench tool (examples/bench/bench.cpp:
+zero mel of 3000 frames through the encoder; sequential single-token
+decodes), producing the derived north-star metric audio-seconds/s/chip:
+
+    rtf = 30 s / (t_mel + t_enc + t_cross + N_TOK * t_dec)
+
+with N_TOK = 220 (the per-window token budget, n_text_ctx/2 - 4).
+
+vs_baseline compares against the reference fork's published GPU real-time
+factors (/root/reference/README.md:206-209: tiny ~50x, small ~25x,
+medium ~10x, large ~4x; base/turbo interpolated).
+
+Timing caveat (this environment): the axon TPU relay has ~30 ms per-call
+overhead and its ready-events make repeated-call timing unreliable, and
+device->host transfers hang. So every phase is measured as the SLOPE
+between two chained-iteration-count variants of one jitted program
+(t(n2) - t(n1)) / (n2 - n1): per-call overhead cancels and no D2H is
+needed. Chains are data-dependent so XLA cannot CSE the repeats.
+Weights are random (no checkpoints ship here); timing is value-independent.
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+PRESET = os.environ.get("WHISPER_TPU_BENCH_PRESET", "tiny")
+# reference RTF claims per model (fork README.md:204-209, GPU column)
+BASELINE_RTF = {"tiny": 50.0, "base": 40.0, "small": 25.0, "medium": 10.0,
+                "large-v1": 4.0, "large-v2": 4.0, "large-v3": 4.0,
+                "large-v3-turbo": 8.0}
+N_TOK = 220
+REPS = 3
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _time_once(fn, *args):
+    """One timed call (the only reliable unit on the axon relay)."""
+    t0 = time.perf_counter()
+    out = fn(*args)
+    jax_block(out)
+    return time.perf_counter() - t0
+
+
+def jax_block(tree):
+    import jax
+    for leaf in jax.tree_util.tree_leaves(tree):
+        leaf.block_until_ready()
+
+
+def slope_time(make_fn, args, n1=2, n2=10):
+    """Per-iteration time via two chain lengths; overhead cancels."""
+    import jax
+    f1 = jax.jit(make_fn(n1))
+    f2 = jax.jit(make_fn(n2))
+    jax_block(f1(*args))   # compile
+    jax_block(f2(*args))
+    t1 = min(_time_once(f1, *args) for _ in range(REPS))
+    t2 = min(_time_once(f2, *args) for _ in range(REPS))
+    return max((t2 - t1) / (n2 - n1), 1e-9)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_tpu.audio import mel as mel_mod
+    from whisper_tpu.checkpoint.init import random_model
+    from whisper_tpu.config import HOP_LENGTH, N_FFT
+    from whisper_tpu.models import whisper as model_mod
+    from whisper_tpu.models.whisper import KVCache
+
+    dev = jax.devices()[0]
+    log(f"bench: device={dev}, preset={PRESET}")
+
+    model = random_model(PRESET)
+    hp = model.hparams
+    params = jax.tree_util.tree_map(jnp.asarray, model.params)
+    dtype = jnp.bfloat16
+
+    # --- mel: 30 s of audio --------------------------------------------------
+    audio = np.zeros(30 * 16000, np.float32)
+    filters = jnp.asarray(model.mel_filters)
+    window = jnp.asarray(mel_mod.hann_window())
+    padded0 = jnp.asarray(mel_mod.pad_audio(audio))
+    n_len, _ = mel_mod.frame_counts(audio.shape[0])
+
+    def make_mel(n):
+        def f(padded):
+            for _ in range(n):
+                idx = (jnp.arange(n_len)[:, None] * HOP_LENGTH
+                       + jnp.arange(N_FFT)[None, :])
+                frames = padded[idx] * window[None, :]
+                spec = jnp.fft.rfft(frames, n=N_FFT, axis=-1)
+                power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+                out = jnp.log10(jnp.maximum(power @ filters.T, 1e-10))
+                padded = padded + jnp.max(out) * 1e-12   # chain dependency
+            return padded
+        return f
+
+    t_mel = slope_time(make_mel, (padded0,))
+    log(f"mel: {t_mel*1e3:.2f} ms")
+
+    # --- encoder -------------------------------------------------------------
+    mel_in = jnp.zeros((1, hp.n_mels, 2 * hp.n_audio_ctx), dtype)
+
+    def make_enc(n):
+        def f(params, mel):
+            for _ in range(n):
+                embed = model_mod.encoder_forward(params, hp, mel, dtype)
+                mel = mel + (jnp.mean(embed) * 1e-9).astype(mel.dtype)
+            return mel
+        return f
+
+    t_enc = slope_time(make_enc, (params, mel_in), n1=1, n2=5)
+    log(f"encode: {t_enc*1e3:.2f} ms")
+
+    # --- cross kv ------------------------------------------------------------
+    embed0 = jax.jit(functools.partial(model_mod.encoder_forward, hp=hp, dtype=dtype))(
+        params, mel=mel_in)
+
+    def make_cross(n):
+        def f(params, embed):
+            for _ in range(n):
+                ck, cv = model_mod.cross_attention_kv(params, hp, embed)
+                embed = embed + (jnp.mean(cv) * 1e-9).astype(embed.dtype)
+            return embed
+        return f
+
+    t_cross = slope_time(make_cross, (params, embed0), n1=1, n2=5)
+    log(f"cross-kv: {t_cross*1e3:.2f} ms")
+
+    ck0, cv0 = jax.jit(functools.partial(model_mod.cross_attention_kv, hp=hp))(
+        params, audio_embed=embed0)
+
+    # --- decoder: chained single-token steps (fori_loop, static bounds) ------
+    def make_dec(batch):
+        ck = jnp.broadcast_to(ck0, ck0.shape[:1] + (batch,) + ck0.shape[2:])
+        cv = jnp.broadcast_to(cv0, cv0.shape[:1] + (batch,) + cv0.shape[2:])
+
+        def make(n):
+            def f(params, kv, tok):
+                def body(i, carry):
+                    tok, kv = carry
+                    logits, kv, _ = model_mod.decoder_forward(
+                        params, hp, tok, i, kv, ck, cv, dtype)
+                    tok = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
+                    return (tok, kv)
+                tok, kv = jax.lax.fori_loop(0, n, body, (tok, kv))
+                return tok
+            return f
+        return make
+
+    kv1 = KVCache.zeros(hp, 1, dtype)
+    tok1 = jnp.zeros((1, 1), jnp.int32)
+    t_dec = slope_time(make_dec(1), (params, kv1, tok1), n1=32, n2=256)
+    log(f"decode: {t_dec*1e3:.3f} ms/token")
+
+    kv5 = KVCache.zeros(hp, 5, dtype)
+    tok5 = jnp.zeros((5, 1), jnp.int32)
+    t_bch5 = slope_time(make_dec(5), (params, kv5, tok5), n1=32, n2=256)
+    log(f"bch5: {t_bch5*1e3:.3f} ms/step")
+
+    rtf = 30.0 / (t_mel + t_enc + t_cross + N_TOK * t_dec)
+    baseline = BASELINE_RTF.get(PRESET, 1.0)
+    log(f"RTF (audio-s/s/chip): {rtf:.1f}  baseline({PRESET} GPU): {baseline}")
+
+    print(json.dumps({
+        "metric": f"audio_s_per_s_chip_{PRESET}_greedy",
+        "value": round(rtf, 2),
+        "unit": "audio-seconds/s/chip",
+        "vs_baseline": round(rtf / baseline, 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

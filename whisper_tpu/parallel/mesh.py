@@ -1,0 +1,111 @@
+"""Device mesh + sharding specs for multi-chip execution.
+
+The reference's entire scale-out story is POSIX threads plus an optional
+TCP tensor-RPC backend (SURVEY.md §2.7, §5.8). The TPU-native design
+replaces it with a 2-D `jax.sharding.Mesh`:
+
+  axis "data"  — utterance/window batch data-parallelism
+                 (replaces whisper_full_parallel, src/whisper.cpp:7736-7864)
+  axis "model" — tensor-parallel weight sharding over ICI for models that
+                 exceed one chip's HBM (large-v3), Megatron-style:
+                 QKV/mlp_0 sharded on the output feature axis (= heads),
+                 out-proj/mlp_2 on the input axis; XLA inserts the psum.
+
+Shardings are expressed as PartitionSpecs per parameter pytree leaf and
+applied with jax.device_put + NamedSharding; jit/GSPMD propagates them
+through the computation and places collectives on ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: int = 1, n_model: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = n_data * n_model
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    dev = np.asarray(devices[:n]).reshape(n_data, n_model)
+    return Mesh(dev, ("data", "model"))
+
+
+def _block_specs(tp: bool) -> Dict[str, Any]:
+    """PartitionSpecs for one stacked transformer block dict.
+    Leading axis is the layer stack (never sharded)."""
+    m = "model" if tp else None
+
+    def lin(out_sharded: bool):
+        # w: (L, in, out); b: (L, out)
+        if out_sharded:
+            return {"w": P(None, None, m), "b": P(None, m)}
+        return {"w": P(None, m, None), "b": P(None, None)}
+
+    def lin_nobias(out_sharded: bool):
+        return {"w": P(None, None, m) if out_sharded else P(None, m, None)}
+
+    ln = {"scale": P(None, None), "bias": P(None, None)}
+    return {
+        "attn_ln": ln,
+        "attn_q": lin(True),
+        "attn_k": lin_nobias(True),
+        "attn_v": lin(True),
+        "attn_out": lin(False),
+        "mlp_ln": ln,
+        "mlp_0": lin(True),
+        "mlp_2": lin(False),
+    }
+
+
+def param_specs(params: Dict[str, Any], tp: bool = True) -> Dict[str, Any]:
+    """PartitionSpec pytree matching checkpoint/loader.py's layout."""
+    m = "model" if tp else None
+    enc_blocks = _block_specs(tp)
+    dec_blocks = dict(_block_specs(tp))
+    dec_blocks.update({
+        "cross_ln": {"scale": P(None, None), "bias": P(None, None)},
+        "cross_q": {"w": P(None, None, m), "b": P(None, m)},
+        "cross_k": {"w": P(None, None, m)},
+        "cross_v": {"w": P(None, None, m), "b": P(None, m)},
+        "cross_out": {"w": P(None, m, None), "b": P(None, None)},
+    })
+    return {
+        "encoder": {
+            "pos_embed": P(None, None),
+            "conv1": {"w": P(None, None, m), "b": P(m)},
+            "conv2": {"w": P(None, None, m), "b": P(m)},
+            "ln_post": {"scale": P(None), "bias": P(None)},
+            "blocks": enc_blocks,
+        },
+        "decoder": {
+            "pos_embed": P(None, None),
+            # vocab-dim sharding: the logits matmul all-gathers over model
+            "token_embed": P(m, None),
+            "ln": {"scale": P(None), "bias": P(None)},
+            "blocks": dec_blocks,
+        },
+    }
+
+
+def shard_params(params: Dict[str, Any], mesh: Mesh, tp: bool = True) -> Dict[str, Any]:
+    """Place the parameter pytree on the mesh with TP shardings."""
+    specs = param_specs(params, tp=tp and mesh.shape["model"] > 1)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, specs,
+        is_leaf=lambda x: not isinstance(x, dict),
+    )
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading utterance/window batch axis over "data"."""
+    return NamedSharding(mesh, P("data"))
+
+
+def kv_sharding(mesh: Mesh) -> NamedSharding:
+    """KV caches (L, B, H, T, Dh): batch over data, heads over model."""
+    return NamedSharding(mesh, P(None, "data", "model", None, None))
