@@ -42,7 +42,7 @@ def run_full(state: WhisperState, params: FullParams, samples: Optional[np.ndarr
     # --- VAD preprocessing (reference whisper_full :7717-7734) -------------
     if params.vad:
         from whisper_tpu.models.vad import vad_filter_audio
-        samples, state.vad_mapping = vad_filter_audio(samples, params)
+        samples, state.vad_mapping = vad_filter_audio(state, samples, params)
         if samples is None or len(samples) == 0:
             return []
     else:
@@ -253,6 +253,12 @@ def run_full(state: WhisperState, params: FullParams, samples: Optional[np.ndarr
                     else:
                         wrapped.append(s)
                 new_segments = wrapped
+
+            # DTW token timestamps for this window's segments (:7679-7692)
+            if ctx.cparams.dtw_token_timestamps and new_segments:
+                from whisper_tpu.decoding.dtw import compute_dtw_timestamps
+                n_frames = min(100 * CHUNK_SIZE, seek_delta, seek_end - seek)
+                compute_dtw_timestamps(state, params, new_segments, seek, n_frames)
 
             for s in new_segments:
                 result_all.append(s)

@@ -209,12 +209,18 @@ def decoder_forward(
     cross_k: jax.Array,        # (L, B, H, Ta, Dh)
     cross_v: jax.Array,
     dtype=jnp.bfloat16,
-) -> Tuple[jax.Array, KVCache, jax.Array]:
+    collect_cross_qk: bool = False,
+) -> Tuple[jax.Array, KVCache, Optional[jax.Array]]:
     """Causal decoder over a chunk of T tokens (T=1 for the sampling loop,
     T=n_prompt for prompt ingestion — the reference's batched decode,
     src/whisper.cpp:2474-2851 + 2864-2993).
 
-    Returns (logits[B, T, n_vocab] float32, updated KV, cross_qk placeholder).
+    With collect_cross_qk, also returns the per-layer softmaxed cross-
+    attention weights (L, B, H, T, Ta) for DTW token timestamps
+    (reference saves the aheads-masked softmax(QK) per layer,
+    src/whisper.cpp:2736-2752).
+
+    Returns (logits[B, T, n_vocab] float32, updated KV, cross_qk or None).
     """
     dec = params["decoder"]
     B, T = tokens.shape
@@ -247,7 +253,12 @@ def decoder_forward(
         # --- cross-attention (precomputed K/V)
         h = layer_norm(x, blk["cross_ln"], hp.eps)
         qc = _split_heads(linear(h, blk["cross_q"]), H)
-        oc = attention(qc, ck, cv)
+        scale = qc.shape[-1] ** -0.5
+        cross_logits = jnp.einsum("bhqd,bhkd->bhqk", qc, ck,
+                                  preferred_element_type=jnp.float32) * scale
+        cross_probs = jax.nn.softmax(cross_logits, axis=-1)
+        oc = jnp.einsum("bhqk,bhkd->bhqd", cross_probs.astype(cv.dtype), cv,
+                        preferred_element_type=jnp.float32).astype(cv.dtype)
         x = x + linear(_merge_heads(oc), blk["cross_out"])
 
         # --- MLP
@@ -255,9 +266,12 @@ def decoder_forward(
         h = jax.nn.gelu(linear(h, blk["mlp_0"]).astype(jnp.float32),
                         approximate=False).astype(x.dtype)
         x = x + linear(h, blk["mlp_2"])
-        return x, (kv_k_l, kv_v_l)
+        extras = (kv_k_l, kv_v_l) + ((cross_probs,) if collect_cross_qk else ())
+        return x, extras
 
-    x, (new_k, new_v) = lax.scan(body, x, (dec["blocks"], kv.k, kv.v, cross_k, cross_v))
+    x, extras = lax.scan(body, x, (dec["blocks"], kv.k, kv.v, cross_k, cross_v))
+    new_k, new_v = extras[0], extras[1]
+    cross_qk = extras[2] if collect_cross_qk else None
 
     x = layer_norm(x, dec["ln"], hp.eps)
     # logits for every token in the chunk; callers slice the last row when
@@ -265,7 +279,7 @@ def decoder_forward(
     # prompt pass wants all rows for scoring, and T=1 in the token loop)
     logits = jnp.dot(x, dec["token_embed"].astype(x.dtype).T,
                      preferred_element_type=jnp.float32)
-    return logits, KVCache(new_k, new_v), x
+    return logits, KVCache(new_k, new_v), cross_qk
 
 
 def decode_logits_only(params, hp, tokens, pos0, kv, cross_k, cross_v, dtype=jnp.bfloat16):
