@@ -1,0 +1,129 @@
+"""GBNF grammar tests (reference grammar engine src/whisper.cpp:5484-5890,
+parser examples/grammar-parser.cpp; Rust-layer enum tests
+src/whisper_grammar.rs)."""
+
+import numpy as np
+import pytest
+
+from whisper_tpu.decoding import grammar as g
+from whisper_tpu.tokenizer import synthetic_vocab
+
+
+def test_decode_utf8_ascii():
+    cps, partial = g.decode_utf8(b"ab", g.PartialUtf8())
+    assert cps == [97, 98, 0]
+    assert partial.n_remain == 0
+
+
+def test_decode_utf8_multibyte_and_partial():
+    full = "é".encode("utf-8")          # 2 bytes
+    cps, partial = g.decode_utf8(full, g.PartialUtf8())
+    assert cps == [0xE9, 0]
+    # split across tokens
+    cps1, p1 = g.decode_utf8(full[:1], g.PartialUtf8())
+    assert cps1 == [0] and p1.n_remain == 1
+    cps2, p2 = g.decode_utf8(full[1:], p1)
+    assert cps2 == [0xE9, 0] and p2.n_remain == 0
+
+
+def test_parse_simple_literal():
+    pg = g.parse_gbnf('root ::= "yes" | "no"')
+    gr = pg.instance()
+    assert gr.stacks  # has live stacks
+    # "y" accepted, "x" not
+    assert gr._accept_char(gr.stacks, ord("y"))
+    assert not gr._accept_char(gr.stacks, ord("x"))
+
+
+def test_parse_char_class_and_range():
+    pg = g.parse_gbnf("root ::= [a-c] [0-9]")
+    gr = pg.instance()
+    assert gr._accept_char(gr.stacks, ord("b"))
+    assert not gr._accept_char(gr.stacks, ord("z"))
+
+
+def test_parse_repetition_star():
+    pg = g.parse_gbnf('root ::= "a"* "b"')
+    gr = pg.instance()
+    st = gr.stacks
+    for _ in range(3):
+        st2 = gr._accept_char(st, ord("a"))
+        assert st2
+        st = st2
+    final = gr._accept_char(st, ord("b"))
+    assert any(len(s) == 0 for s in final)  # completed
+
+
+def test_parse_plus_requires_one():
+    pg = g.parse_gbnf('root ::= "a"+')
+    gr = pg.instance()
+    # 'b' rejected initially
+    assert not gr._accept_char(gr.stacks, ord("b"))
+    st = gr._accept_char(gr.stacks, ord("a"))
+    assert st
+
+
+def test_parse_rule_ref_and_group():
+    pg = g.parse_gbnf('''
+root ::= greeting " " name
+greeting ::= "hi" | "yo"
+name ::= ("bob" | "alice")
+''')
+    gr = pg.instance()
+    for ch in "yo bob":
+        st = gr._accept_char(gr.stacks, ord(ch))
+        assert st, f"rejected {ch!r}"
+        gr.stacks = st
+    assert any(len(s) == 0 for s in gr.stacks)
+
+
+def test_undefined_rule_raises():
+    with pytest.raises(g.GbnfError):
+        g.parse_gbnf("root ::= missing")
+
+
+def test_rejected_tokens_against_vocab():
+    vocab = synthetic_vocab()
+    pg = g.parse_gbnf('root ::= "the"')
+    gr = pg.instance()
+    rejects = set(gr.rejected_tokens(vocab))
+    # token 't' (0x74) starts "the" -> allowed; 'x' rejected
+    assert ord("t") not in rejects
+    assert ord("x") in rejects
+    # multi-char token " the" does not match (leading space) -> rejected
+    tid_the = vocab.token_to_id[b" the"]
+    assert tid_the in rejects
+
+
+def test_accept_token_advances_state():
+    vocab = synthetic_vocab()
+    pg = g.parse_gbnf('root ::= "ab"')
+    gr = pg.instance()
+    gr.accept_token(vocab, ord("a"))
+    rejects = set(gr.rejected_tokens(vocab))
+    assert ord("b") not in rejects
+    assert ord("a") in rejects
+
+
+def test_grammar_full_pipeline(jfk_like_audio):
+    """full() with a grammar uses the host loop and biases decoding."""
+    import whisper_tpu as wt
+    from whisper_tpu.checkpoint.init import tiny_test_hparams
+    from whisper_tpu.config import ContextParams, FullParams
+
+    ctx = wt.WhisperContext.random(
+        hp=tiny_test_hparams(), params=ContextParams(dtype="float32"))
+    st = ctx.create_state()
+    p = FullParams.default()
+    p.print_progress = False
+    p.greedy.best_of = 1
+    p.temperature_inc = 0.0
+    p.grammar_rules = g.parse_gbnf('root ::= [a-z ]*')
+    assert st.full(p, jfk_like_audio[: 16000 * 2]) == 0
+    # all text tokens must be lowercase/space (penalty -100 forces it on a
+    # random model whose raw logits are near-uniform)
+    for i in range(st.full_n_segments()):
+        for td in st.full_get_segment(i).tokens:
+            if td.id < ctx.token_eot():
+                txt = ctx.tokenizer.token_str(td.id)
+                assert all(c.islower() or c == " " for c in txt), txt

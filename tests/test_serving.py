@@ -1,0 +1,147 @@
+"""Output writers + CLI tests (reference examples/cli/cli.cpp:433-921)."""
+
+import io
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import whisper_tpu as wt
+from whisper_tpu.api import Segment, TokenData
+from whisper_tpu.checkpoint.init import tiny_test_hparams
+from whisper_tpu.config import ContextParams
+from whisper_tpu.serving import writers
+
+
+@pytest.fixture()
+def segs():
+    td = TokenData(id=300, tid=50363, p=0.9, plog=-0.1, pt=0.5, ptsum=0.6)
+    return [
+        Segment(t0=0, t1=150, text=" Hello world.", tokens=[td]),
+        Segment(t0=150, t1=420, text=' He said "hi\\there".', tokens=[td]),
+    ]
+
+
+def test_txt(segs):
+    out = writers.render("txt", segs)
+    assert out == " Hello world.\n He said \"hi\\there\".\n"
+
+
+def test_vtt(segs):
+    out = writers.render("vtt", segs)
+    lines = out.splitlines()
+    assert lines[0] == "WEBVTT"
+    assert lines[2] == "00:00:00.000 --> 00:00:01.500"
+    assert lines[3] == " Hello world."
+
+
+def test_srt(segs):
+    out = writers.render("srt", segs)
+    lines = out.splitlines()
+    assert lines[0] == "1"
+    assert lines[1] == "00:00:00,000 --> 00:00:01,500"
+    assert "2" in lines[3:5]
+
+
+def test_lrc(segs):
+    out = writers.render("lrc", segs)
+    lines = out.splitlines()
+    assert lines[0] == "[by:whisper_tpu]"
+    assert lines[1].startswith("[00:00.00]")
+    assert lines[2].startswith("[00:01.50]")
+
+
+def test_csv_escaping(segs):
+    out = writers.render("csv", segs)
+    lines = out.splitlines()
+    assert lines[0] == "start,end,text"
+    assert lines[1] == '0,1500," Hello world."'
+    # rfc4180: double quotes doubled
+    assert '""hi\\there""' in lines[2]
+
+
+def test_json(segs):
+    ctx = wt.WhisperContext.random(hp=tiny_test_hparams(),
+                                   params=ContextParams(dtype="float32"))
+    out = writers.render("json", segs, ctx=ctx, model_path="m.bin")
+    doc = json.loads(out)
+    assert doc["model"]["vocab"] == 51864
+    assert doc["model"]["audio"]["layer"] == 2
+    assert len(doc["transcription"]) == 2
+    t = doc["transcription"][0]
+    assert t["offsets"] == {"from": 0, "to": 1500}
+    assert t["text"] == " Hello world."
+    # full adds tokens
+    out_full = writers.render("json_full", segs, ctx=ctx)
+    doc2 = json.loads(out_full)
+    assert "tokens" in doc2["transcription"][0]
+    assert doc2["transcription"][0]["tokens"][0]["id"] == 300
+
+
+def test_diarization_speaker():
+    left = np.zeros(16000, np.float32)
+    right = np.zeros(16000, np.float32)
+    left[:8000] = 0.5
+    right[8000:] = 0.5
+    assert writers.estimate_diarization_speaker([left, right], 0, 50) == "(speaker 0)"
+    assert writers.estimate_diarization_speaker([left, right], 50, 100, True) == "1"
+    both = [np.ones(16000, np.float32)] * 2
+    assert writers.estimate_diarization_speaker(both, 0, 100, True) == "?"
+
+
+def test_cli_parser_defaults():
+    from whisper_tpu.serving.cli import build_parser, params_from_args
+    args = build_parser().parse_args(["-m", "x.bin", "-f", "a.wav"])
+    p = params_from_args(args)
+    assert p.greedy.best_of == 5
+    assert p.temperature == 0.0
+    assert p.language == "en"
+    args2 = build_parser().parse_args(
+        ["-m", "x.bin", "-f", "a.wav", "-bs", "5", "-tr", "-l", "de",
+         "--vad", "-vt", "0.3", "-nt"])
+    p2 = params_from_args(args2)
+    from whisper_tpu.config import SamplingStrategy
+    assert p2.strategy == SamplingStrategy.BEAM_SEARCH
+    assert p2.beam_search.beam_size == 5
+    assert p2.translate and p2.language == "de"
+    assert p2.vad and p2.vad_params.threshold == 0.3
+    assert p2.no_timestamps
+
+
+def test_cli_end_to_end(tmp_path, jfk_like_audio):
+    """Run the real CLI entry on a fabricated checkpoint + wav file."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_ggml_io import _make_test_tensors
+    from whisper_tpu.audio.io import write_wav
+    from whisper_tpu.audio.mel import mel_filterbank
+    from whisper_tpu.checkpoint import ggml_io
+    from whisper_tpu.serving.cli import main
+    from whisper_tpu.tokenizer import synthetic_vocab
+
+    hp = tiny_test_hparams()
+    model_path = str(tmp_path / "model.bin")
+    vocab = synthetic_vocab(hp.n_vocab)
+    ggml_io.write_ggml(model_path, hp, mel_filterbank(80),
+                       vocab.id_to_token[:50256], _make_test_tensors(hp))
+    wav_path = str(tmp_path / "audio.wav")
+    write_wav(wav_path, jfk_like_audio[: 16000 * 2])
+
+    out_base = str(tmp_path / "out")
+    rc = main(["-m", model_path, "-f", wav_path, "-otxt", "-osrt", "-ocsv",
+               "-oj", "-of", out_base, "-np", "-bo", "1"])
+    assert rc == 0
+    assert os.path.exists(out_base + ".txt")
+    assert os.path.exists(out_base + ".srt")
+    assert os.path.exists(out_base + ".csv")
+    doc = json.load(open(out_base + ".json"))
+    assert "transcription" in doc
+
+
+def test_cli_missing_file_errors(capsys):
+    from whisper_tpu.serving.cli import main
+    assert main([]) == 1
+    assert main(["-m", "/nonexistent.bin", "-f", "x.wav"]) == 3

@@ -151,6 +151,8 @@ def apply_filters(
     has_ts: jax.Array,        # (B,) bool — a timestamp was sampled this segment
     seek_delta: jax.Array,    # (B,) i32 — current per-decoder seek delta
     temperature: jax.Array,   # scalar f32
+    grammar_reject: Optional[jax.Array] = None,  # (B, V) bool
+    grammar_penalty: float = 100.0,
 ):
     """Returns (logits, logprobs, probs) after the full ordered rule set.
 
@@ -195,6 +197,16 @@ def apply_filters(
     kill_text = force_ts[:, None] & ~is_ts_token[None, :]
     logits = jnp.where(kill_text, NEG_INF, logits)
     logprobs = jnp.where(kill_text, NEG_INF, logprobs)
+
+    # rule 15: grammar penalty — only when timestamps were NOT forced, then
+    # re-run log_softmax (reference :6344-6390)
+    if grammar_reject is not None:
+        apply_g = (~force_ts)[:, None] & grammar_reject
+        logits = jnp.where(apply_g, logits - grammar_penalty, logits)
+        logprobs2 = jax.nn.log_softmax(jnp.where(jnp.isinf(logits), NEG_INF, logits),
+                                       axis=-1)
+        logprobs2 = jnp.where(jnp.isinf(logits), NEG_INF, logprobs2)
+        logprobs = jnp.where(force_ts[:, None], logprobs, logprobs2)
 
     probs = jnp.where(jnp.isinf(logprobs), 0.0, jnp.exp(logprobs))
     return logits, logprobs, probs

@@ -166,6 +166,30 @@ def run_full(state: WhisperState, params: FullParams, samples: Optional[np.ndarr
             prompt_padded = np.zeros(prompt_max, np.int32)
             prompt_padded[:prompt_len] = prompt
 
+            use_host_loop = (params.grammar_rules is not None
+                             or params.logits_filter_callback is not None)
+            if use_host_loop:
+                # grammar / user-callback path: host-stepped decode
+                # (reference applies these between steps, :6224-6226 + :6360)
+                from whisper_tpu.decoding.host_loop import decode_window_host
+                t0 = time.perf_counter()
+                result = decode_window_host(
+                    state, params, consts, tids, prompt, t_cur, seek, seek_end,
+                    n_dec_cur, strat, rng_seed + it)
+                n_steps = int(result.n_tokens)
+                state.timings.add("decode", time.perf_counter() - t0, max(1, n_steps))
+                state.no_speech_prob = float(result.no_speech_prob)
+                best_idx, best_scores, failed = scoring.rank_decoders(result, params)
+                best_result = result
+                sc = best_scores[best_idx]
+                fallback = scoring.needs_fallback(
+                    bool(failed[best_idx]) or sc is None,
+                    sc.avg_logprobs if sc else float("-inf"),
+                    state.no_speech_prob, params, it == len(temperatures) - 1)
+                if not fallback:
+                    break
+                continue
+
             kv = KVCache.zeros(hp, n_dec_cur, ctx.dtype)
 
             t0 = time.perf_counter()
