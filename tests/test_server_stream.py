@@ -1,0 +1,221 @@
+"""HTTP server, streaming, full_parallel, errors, quantizer tests
+(reference examples/server/server.cpp, examples/stream/stream.cpp,
+whisper_full_parallel src/whisper.cpp:7736-7864, examples/quantize)."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import whisper_tpu as wt
+from whisper_tpu.checkpoint.init import tiny_test_hparams
+from whisper_tpu.config import ContextParams, FullParams
+
+
+@pytest.fixture(scope="module")
+def model_file(tmp_path_factory):
+    import sys
+    sys.path.insert(0, "tests")
+    from test_ggml_io import _make_test_tensors
+    from whisper_tpu.audio.mel import mel_filterbank
+    from whisper_tpu.checkpoint import ggml_io
+    from whisper_tpu.tokenizer import synthetic_vocab
+
+    hp = tiny_test_hparams()
+    path = str(tmp_path_factory.mktemp("srv") / "model.bin")
+    ggml_io.write_ggml(path, hp, mel_filterbank(80),
+                       synthetic_vocab(hp.n_vocab).id_to_token[:50256],
+                       _make_test_tensors(hp))
+    return path
+
+
+@pytest.fixture(scope="module")
+def wav_bytes(tmp_path_factory):
+    from whisper_tpu.audio.io import write_wav
+    rng = np.random.default_rng(3)
+    p = tmp_path_factory.mktemp("wav") / "a.wav"
+    write_wav(str(p), (0.2 * rng.standard_normal(16000 * 2)).astype(np.float32))
+    return p.read_bytes()
+
+
+def _multipart(fields):
+    boundary = "testboundary123"
+    body = b""
+    for name, value in fields.items():
+        body += f"--{boundary}\r\n".encode()
+        body += f'Content-Disposition: form-data; name="{name}"\r\n\r\n'.encode()
+        body += value if isinstance(value, bytes) else str(value).encode()
+        body += b"\r\n"
+    body += f"--{boundary}--\r\n".encode()
+    return body, f"multipart/form-data; boundary={boundary}"
+
+
+@pytest.fixture(scope="module")
+def server(model_file):
+    from whisper_tpu.serving.server import serve
+    httpd = serve(model_file, "127.0.0.1", 0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{port}"
+    httpd.shutdown()
+
+
+def test_health(server):
+    with urllib.request.urlopen(server + "/health") as r:
+        assert r.status == 200
+        assert json.load(r)["status"] == "ok"
+
+
+def test_inference_json(server, wav_bytes):
+    body, ctype = _multipart({"file": wav_bytes})
+    req = urllib.request.Request(server + "/inference", data=body,
+                                 headers={"Content-Type": ctype})
+    with urllib.request.urlopen(req, timeout=300) as r:
+        assert r.status == 200
+        doc = json.load(r)
+        assert "text" in doc
+
+
+def test_inference_text_and_srt(server, wav_bytes):
+    body, ctype = _multipart({"file": wav_bytes, "response_format": "text"})
+    req = urllib.request.Request(server + "/inference", data=body,
+                                 headers={"Content-Type": ctype})
+    with urllib.request.urlopen(req, timeout=300) as r:
+        assert r.headers["Content-Type"].startswith("text/plain")
+    body, ctype = _multipart({"file": wav_bytes, "response_format": "srt"})
+    req = urllib.request.Request(server + "/inference", data=body,
+                                 headers={"Content-Type": ctype})
+    with urllib.request.urlopen(req, timeout=300) as r:
+        text = r.read().decode()
+        assert "-->" in text
+
+
+def test_inference_verbose_json(server, wav_bytes):
+    body, ctype = _multipart({"file": wav_bytes, "response_format": "verbose_json",
+                              "temperature": "0.0"})
+    req = urllib.request.Request(server + "/inference", data=body,
+                                 headers={"Content-Type": ctype})
+    with urllib.request.urlopen(req, timeout=300) as r:
+        doc = json.load(r)
+        assert doc["task"] == "transcribe"
+        assert "segments" in doc and "duration" in doc
+
+
+def test_inference_missing_file_field(server):
+    body, ctype = _multipart({"language": "en"})
+    req = urllib.request.Request(server + "/inference", data=body,
+                                 headers={"Content-Type": ctype})
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "file" in json.load(e)["error"]
+
+
+def test_load_endpoint(server, model_file):
+    req = urllib.request.Request(
+        server + "/load", data=json.dumps({"model": model_file}).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        assert json.load(r)["status"] == "model loaded"
+    # bad model path -> 400
+    req = urllib.request.Request(
+        server + "/load", data=json.dumps({"model": "/nope.bin"}).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        assert False
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
+# ---------------------------------------------------------------- streaming
+
+def test_stream_sliding_window(jfk_like_audio):
+    from whisper_tpu.serving.stream import StreamParams, StreamTranscriber
+    ctx = wt.WhisperContext.random(hp=tiny_test_hparams(),
+                                   params=ContextParams(dtype="float32"))
+    events = []
+    st = StreamTranscriber(
+        ctx, StreamParams(step_ms=1000, length_ms=3000, keep_ms=200),
+        on_segment=lambda t, c: events.append((c, t)))
+    chunk = 8000
+    for i in range(0, len(jfk_like_audio[: 16000 * 4]), chunk):
+        st.feed(jfk_like_audio[i : i + chunk])
+    st.flush()
+    assert events, "no streaming events emitted"
+    assert any(c for c, _ in events), "nothing committed"
+
+
+def test_stream_vad_mode():
+    from whisper_tpu.serving.stream import StreamParams, StreamTranscriber, vad_simple
+    # energy vad: loud then silence triggers
+    rng = np.random.default_rng(0)
+    loud = (0.5 * rng.standard_normal(16000)).astype(np.float32)
+    silent = np.zeros(16000, np.float32)
+    assert vad_simple(np.concatenate([loud, silent]), 16000, 500, 0.6, 100.0)
+    assert not vad_simple(np.concatenate([silent, loud]), 16000, 500, 0.6, 100.0)
+
+
+# ------------------------------------------------------------ full_parallel
+
+def test_full_parallel_merge(jfk_like_audio):
+    ctx = wt.WhisperContext.random(hp=tiny_test_hparams(),
+                                   params=ContextParams(dtype="float32"))
+    p = FullParams.default()
+    p.print_progress = False
+    st = ctx.create_state()
+    assert st.full_parallel(p, jfk_like_audio[: 16000 * 6], 2) == 0
+    segs = st.segments
+    assert segs
+    # non-overlapping, monotonically ordered
+    for a, b in zip(segs, segs[1:]):
+        assert b.t0 >= a.t1
+
+
+# ------------------------------------------------------------------- errors
+
+def test_error_types(tmp_path):
+    from whisper_tpu import errors
+    assert len(errors.BY_CODE) == 19
+    bad = tmp_path / "bad.bin"
+    bad.write_bytes(b"\x00" * 16)
+    with pytest.raises(errors.InvalidModelFormat):
+        wt.WhisperContext.new_with_params(str(bad))
+    with pytest.raises(errors.InitError):
+        wt.WhisperContext.new_with_params("/definitely/missing.bin")
+    # InitError is an OSError; InvalidModelFormat a ValueError
+    assert issubclass(errors.InitError, OSError)
+    assert issubclass(errors.InvalidModelFormat, ValueError)
+
+
+# ----------------------------------------------------------------- quantize
+
+def test_quantizer_tool(model_file, tmp_path):
+    from whisper_tpu.checkpoint import ggml_io, quant
+    from whisper_tpu.tools.quantize import main, quantize_model
+
+    out = str(tmp_path / "q5.bin")
+    log = quantize_model(model_file, out, "q5_0")
+    assert any(t == quant.GGML_TYPE_Q5_0 for t in log.values())
+    # skip list honored
+    assert log["encoder.positional_embedding"] != quant.GGML_TYPE_Q5_0
+    assert log["encoder.conv1.bias"] != quant.GGML_TYPE_Q5_0
+    # conv weights are 3-D -> untouched
+    assert log["encoder.conv1.weight"] == quant.GGML_TYPE_F16
+
+    # quantized model loads and runs
+    ctx = wt.WhisperContext.new_with_params(out, ContextParams(dtype="float32"))
+    assert not ctx.is_stub
+    hp = ggml_io.read_header_only(out)
+    assert hp.ftype == quant.TYPE_TO_FTYPE[quant.GGML_TYPE_Q5_0]
+
+    # CLI surface
+    assert main([model_file, str(tmp_path / "q8.bin"), "q8_0"]) == 0
+    assert main(["x"]) == 3
+    assert main([model_file, "y", "zzz"]) == 3

@@ -78,7 +78,14 @@ class WhisperContext:
     @classmethod
     def new_with_params(cls, path: str, params: Optional[ContextParams] = None) -> "WhisperContext":
         """reference whisper_init_from_file_with_params (src/whisper.cpp:3640)."""
-        return cls(loader_mod.load_model(path, (params or ContextParams()).dtype), params)
+        from whisper_tpu.errors import InitError, WhisperError
+        try:
+            model = loader_mod.load_model(path, (params or ContextParams()).dtype)
+        except WhisperError:
+            raise
+        except (OSError, ValueError, EOFError) as e:
+            raise InitError(f"failed to load model '{path}': {e}") from e
+        return cls(model, params)
 
     @classmethod
     def from_buffer(cls, buf, params: Optional[ContextParams] = None) -> "WhisperContext":
@@ -266,6 +273,55 @@ class WhisperState:
 
     def full_get_all_text(self) -> str:
         return "".join(s.text for s in self.segments)
+
+    def full_parallel(self, params: FullParams, samples: np.ndarray,
+                      n_processors: int) -> int:
+        """Split the audio into n chunks and merge results with timestamp
+        offsets + overlap clamping (reference whisper_full_parallel,
+        src/whisper.cpp:7736-7864 — its entire 'distributed' story).
+
+        The reference runs chunks on host threads; the TPU-native throughput
+        axis is data-parallel window batching over the device mesh
+        (parallel/mesh.py), so here chunks share one device and run in
+        sequence — identical output semantics, same accuracy caveat at
+        boundaries (:7861)."""
+        if n_processors <= 1:
+            return self.full(params, samples)
+
+        offset_samples = (cfg.SAMPLE_RATE * params.offset_ms) // 1000
+        n_per = (len(samples) - offset_samples) // n_processors
+
+        import copy
+        states = []
+        # first chunk keeps the caller's offset; others start at 0
+        p0 = copy.copy(params)
+        ret = self.full(p0, samples[: offset_samples + n_per])
+        for i in range(n_processors - 1):
+            start = offset_samples + (i + 1) * n_per
+            end = len(samples) if i == n_processors - 2 else start + n_per
+            pc = copy.copy(params)
+            pc.offset_ms = 0
+            pc.print_progress = False
+            pc.new_segment_callback = None
+            pc.progress_callback = None
+            st = self.ctx.create_state()
+            st.full(pc, samples[start:end])
+            states.append((i, st))
+
+        offset_t = params.offset_ms // 10
+        for i, st in states:
+            for seg in st.segments:
+                shift = 100 * ((i + 1) * n_per) // cfg.SAMPLE_RATE + offset_t
+                seg.t0 += shift
+                seg.t1 += shift
+                if self.segments:
+                    seg.t0 = max(seg.t0, self.segments[-1].t1)
+                self.segments.append(seg)
+                if params.new_segment_callback:
+                    params.new_segment_callback(self.ctx, self, seg)
+            for phase, stat in st.timings.phases.items():
+                self.timings.add(phase, stat.total_s, stat.calls)
+        return ret
 
     def lang_detect(self, offset_ms: int = 0) -> Tuple[int, np.ndarray]:
         from whisper_tpu.decoding.language import lang_auto_detect

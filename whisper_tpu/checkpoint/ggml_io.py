@@ -75,11 +75,16 @@ def read_ggml(path_or_file, max_tensors: Optional[int] = None) -> GgmlCheckpoint
     """Parse a ggml .bin checkpoint. Accepts a path or binary file object
     (the reference supports both file and in-memory buffers —
     whisper_init_from_buffer_with_params, src/whisper.cpp:3680)."""
+    from whisper_tpu.errors import InvalidModelFormat
+
     f = open(path_or_file, "rb") if isinstance(path_or_file, (str, bytes)) else path_or_file
     try:
-        magic = struct.unpack("<I", f.read(4))[0]
+        head = f.read(4)
+        if len(head) < 4:
+            raise InvalidModelFormat("invalid model data (file too short)")
+        magic = struct.unpack("<I", head)[0]
         if magic != GGML_MAGIC:
-            raise ValueError(f"invalid model data (bad magic 0x{magic:08x})")
+            raise InvalidModelFormat(f"invalid model data (bad magic 0x{magic:08x})")
 
         vals = struct.unpack("<11i", f.read(44))
         ftype_raw = vals[10]
@@ -114,7 +119,7 @@ def read_ggml(path_or_file, max_tensors: Optional[int] = None) -> GgmlCheckpoint
             nbytes = quant.row_nbytes(ttype, nelems)
             data = f.read(nbytes)
             if len(data) < nbytes:
-                raise ValueError(f"truncated tensor data for '{name}'")
+                raise InvalidModelFormat(f"truncated tensor data for '{name}'")
             tensors[name] = RawTensor(name=name, ne=tuple(ne), ttype=ttype, data=data)
             if max_tensors is not None and len(tensors) >= max_tensors:
                 break

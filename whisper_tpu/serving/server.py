@@ -1,0 +1,217 @@
+"""HTTP inference server.
+
+reference examples/server/server.cpp (endpoints :683-1152):
+  POST /inference — multipart WAV (field "file") + decode params;
+                    response_format: json | text | srt | vtt |
+                    verbose_json (OAI-ish)
+  POST /load      — hot-swap model {"model": path}
+  GET  /health    — liveness
+
+stdlib http.server only (the reference vendors httplib.h; we need no
+dependency). One worker thread per request class is enough here because
+every heavy call is a jitted device program; a threading lock serializes
+model access like the reference's whisper_mutex (server.cpp:569).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import re
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from whisper_tpu.api import WhisperContext
+from whisper_tpu.config import ContextParams, FullParams, SamplingStrategy
+from whisper_tpu.serving import writers
+
+
+class ServerState:
+    def __init__(self, model_path: Optional[str] = None,
+                 cparams: Optional[ContextParams] = None):
+        self.lock = threading.Lock()
+        self.cparams = cparams or ContextParams()
+        self.ctx: Optional[WhisperContext] = None
+        self.model_path = model_path
+        if model_path:
+            self.ctx = WhisperContext.new_with_params(model_path, self.cparams)
+
+    def load(self, path: str) -> None:
+        with self.lock:
+            self.ctx = WhisperContext.new_with_params(path, self.cparams)
+            self.model_path = path
+
+
+def _parse_multipart(body: bytes, content_type: str) -> Dict[str, bytes]:
+    m = re.search(r'boundary="?([^";]+)"?', content_type)
+    if not m:
+        raise ValueError("no multipart boundary")
+    boundary = b"--" + m.group(1).encode()
+    fields: Dict[str, bytes] = {}
+    for part in body.split(boundary):
+        part = part.strip(b"\r\n")
+        if not part or part == b"--":
+            continue
+        if b"\r\n\r\n" not in part:
+            continue
+        head, _, data = part.partition(b"\r\n\r\n")
+        nm = re.search(rb'name="([^"]+)"', head)
+        if nm:
+            fields[nm.group(1).decode()] = data
+    return fields
+
+
+def _params_from_fields(fields: Dict[str, bytes]) -> FullParams:
+    def get(name, default=None, cast=str):
+        v = fields.get(name)
+        if v is None:
+            return default
+        return cast(v.decode().strip())
+
+    beam = get("beam_size", -1, int)
+    p = FullParams.default(SamplingStrategy.BEAM_SEARCH if beam and beam > 1
+                           else SamplingStrategy.GREEDY)
+    if beam and beam > 1:
+        p.beam_search.beam_size = beam
+    p.print_progress = False
+    p.language = get("language", "en")
+    if p.language == "auto":
+        p.language = None
+    p.translate = get("translate", "false") in ("true", "1")
+    p.temperature = get("temperature", 0.0, float)
+    p.temperature_inc = get("temperature_inc", 0.2, float)
+    p.offset_ms = get("offset_t", 0, int)
+    p.duration_ms = get("duration", 0, int)
+    p.no_timestamps = get("no_timestamps", "false") in ("true", "1")
+    p.initial_prompt = get("prompt")
+    p.token_timestamps = get("word_thold", None) is not None
+    p.max_len = get("max_len", 0, int)
+    p.vad = get("vad", "false") in ("true", "1")
+    p.vad_model_path = get("vad_model")
+    return p
+
+
+def make_handler(server_state: ServerState):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            pass  # quiet; the reference logs via its own hooks
+
+        def _send(self, code: int, body: str, ctype: str = "application/json"):
+            data = body.encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            if self.path == "/health":
+                ok = server_state.ctx is not None
+                self._send(200 if ok else 503,
+                           json.dumps({"status": "ok" if ok else "no model loaded"}))
+            else:
+                self._send(404, json.dumps({"error": "not found"}))
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            if self.path == "/load":
+                try:
+                    doc = json.loads(body or b"{}")
+                    server_state.load(doc["model"])
+                    self._send(200, json.dumps({"status": "model loaded",
+                                                "model": doc["model"]}))
+                except Exception as e:
+                    self._send(400, json.dumps({"error": str(e)}))
+                return
+            if self.path != "/inference":
+                self._send(404, json.dumps({"error": "not found"}))
+                return
+            if server_state.ctx is None:
+                self._send(503, json.dumps({"error": "no model loaded"}))
+                return
+            try:
+                fields = _parse_multipart(body, self.headers.get("Content-Type", ""))
+                if "file" not in fields:
+                    raise ValueError('missing "file" field')
+                import wave
+                from whisper_tpu.audio.io import read_wav
+                import tempfile, os
+                with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as tf:
+                    tf.write(fields["file"])
+                    tmp = tf.name
+                try:
+                    samples, _sr = read_wav(tmp)
+                finally:
+                    os.unlink(tmp)
+                params = _params_from_fields(fields)
+                fmt = fields.get("response_format", b"json").decode()
+
+                with server_state.lock:
+                    ctx = server_state.ctx
+                    state = ctx.create_state()
+                    if state.full(params, samples) != 0:
+                        raise RuntimeError("transcription failed")
+                    segments = state.segments
+
+                if fmt == "text":
+                    self._send(200, "".join(s.text for s in segments) + "\n",
+                               "text/plain")
+                elif fmt == "srt":
+                    self._send(200, writers.render("srt", segments),
+                               "application/x-subrip")
+                elif fmt == "vtt":
+                    self._send(200, writers.render("vtt", segments), "text/vtt")
+                elif fmt == "verbose_json":
+                    doc = {
+                        "task": "translate" if params.translate else "transcribe",
+                        "language": params.language,
+                        "duration": len(samples) / 16000.0,
+                        "text": "".join(s.text for s in segments),
+                        "segments": [
+                            {"id": i, "start": s.t0 / 100.0, "end": s.t1 / 100.0,
+                             "text": s.text,
+                             "no_speech_prob": s.no_speech_prob,
+                             "tokens": [td.id for td in s.tokens]}
+                            for i, s in enumerate(segments)
+                        ],
+                    }
+                    self._send(200, json.dumps(doc, ensure_ascii=False))
+                else:  # json (default)
+                    self._send(200, json.dumps(
+                        {"text": "".join(s.text for s in segments)},
+                        ensure_ascii=False))
+            except Exception as e:
+                self._send(400, json.dumps({"error": str(e)}))
+
+    return Handler
+
+
+def serve(model_path: Optional[str], host: str = "127.0.0.1", port: int = 8080,
+          cparams: Optional[ContextParams] = None) -> ThreadingHTTPServer:
+    """Create (and return) the server; caller runs serve_forever()."""
+    state = ServerState(model_path, cparams)
+    httpd = ThreadingHTTPServer((host, port), make_handler(state))
+    httpd.whisper_state = state  # for tests / hot-swap introspection
+    return httpd
+
+
+def main(argv=None) -> int:
+    import argparse
+    ap = argparse.ArgumentParser(prog="whisper-tpu-server")
+    ap.add_argument("-m", "--model", required=True)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    args = ap.parse_args(argv)
+    httpd = serve(args.model, args.host, args.port)
+    print(f"whisper-tpu server listening on http://{args.host}:{args.port}")
+    httpd.serve_forever()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
