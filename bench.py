@@ -57,15 +57,47 @@ def jax_block(tree):
 
 
 def slope_time(make_fn, args, n1=2, n2=10):
-    """Per-iteration time via two chain lengths; overhead cancels."""
+    """Per-iteration time via two chain lengths; overhead cancels.
+
+    Exactly ONE timed call per compiled executable after one warmup — on
+    the axon relay, only the first post-warmup call's block_until_ready
+    reliably waits for completion (later calls return early)."""
     import jax
     f1 = jax.jit(make_fn(n1))
     f2 = jax.jit(make_fn(n2))
-    jax_block(f1(*args))   # compile
+    jax_block(f1(*args))   # compile + warmup
     jax_block(f2(*args))
-    t1 = min(_time_once(f1, *args) for _ in range(REPS))
-    t2 = min(_time_once(f2, *args) for _ in range(REPS))
+    t1 = _time_once(f1, *args)
+    t2 = _time_once(f2, *args)
     return max((t2 - t1) / (n2 - n1), 1e-9)
+
+
+V5E_PEAK_TFLOPS = 197.0  # bf16
+
+
+def timing_reliability_probe() -> float:
+    """Measure a known-FLOPs workload (chained 4096^3 matmuls) and return
+    the implied TFLOPs. If it exceeds the hardware peak, the relay's
+    ready-events are lying and every timing below is untrustworthy —
+    the JSON line then carries "timing_unreliable": true rather than
+    publishing physically impossible numbers as fact."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((4096, 4096), jnp.bfloat16)
+
+    def make(n):
+        def f(a):
+            for _ in range(n):
+                a = a @ a * (1.0 / 4096.0)
+            return a
+        return f
+
+    t = slope_time(make, (x,), n1=2, n2=22)
+    tflops = 2 * 4096**3 / t / 1e12
+    log(f"probe: {t*1e3:.3f} ms/matmul -> {tflops:.0f} TFLOPs "
+        f"(peak {V5E_PEAK_TFLOPS})")
+    return tflops
 
 
 def main():
@@ -80,6 +112,9 @@ def main():
 
     dev = jax.devices()[0]
     log(f"bench: device={dev}, preset={PRESET}")
+
+    probe_tflops = timing_reliability_probe()
+    timing_ok = probe_tflops <= 2.0 * V5E_PEAK_TFLOPS
 
     model = random_model(PRESET)
     hp = model.hparams
@@ -106,7 +141,7 @@ def main():
             return padded
         return f
 
-    t_mel = slope_time(make_mel, (padded0,))
+    t_mel = slope_time(make_mel, (padded0,), n1=1, n2=5)
     log(f"mel: {t_mel*1e3:.2f} ms")
 
     # --- encoder -------------------------------------------------------------
@@ -120,7 +155,7 @@ def main():
             return mel
         return f
 
-    t_enc = slope_time(make_enc, (params, mel_in), n1=1, n2=5)
+    t_enc = slope_time(make_enc, (params, mel_in), n1=1, n2=41)
     log(f"encode: {t_enc*1e3:.2f} ms")
 
     # --- cross kv ------------------------------------------------------------
@@ -135,7 +170,7 @@ def main():
             return embed
         return f
 
-    t_cross = slope_time(make_cross, (params, embed0), n1=1, n2=5)
+    t_cross = slope_time(make_cross, (params, embed0), n1=1, n2=41)
     log(f"cross-kv: {t_cross*1e3:.2f} ms")
 
     ck0, cv0 = jax.jit(functools.partial(model_mod.cross_attention_kv, hp=hp))(
@@ -171,14 +206,20 @@ def main():
 
     rtf = 30.0 / (t_mel + t_enc + t_cross + N_TOK * t_dec)
     baseline = BASELINE_RTF.get(PRESET, 1.0)
-    log(f"RTF (audio-s/s/chip): {rtf:.1f}  baseline({PRESET} GPU): {baseline}")
+    log(f"RTF (audio-s/s/chip): {rtf:.1f}  baseline({PRESET} GPU): {baseline}"
+        + ("" if timing_ok else "  [TIMING UNRELIABLE — relay async]"))
 
-    print(json.dumps({
+    out = {
         "metric": f"audio_s_per_s_chip_{PRESET}_greedy",
         "value": round(rtf, 2),
         "unit": "audio-seconds/s/chip",
         "vs_baseline": round(rtf / baseline, 3),
-    }), flush=True)
+    }
+    if not timing_ok:
+        # relay ready-events lied (see probe): numbers are not physical
+        out["timing_unreliable"] = True
+        out["probe_tflops"] = round(probe_tflops)
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,40 @@
+"""Pallas fused-attention kernel tests (runs in interpret mode on CPU;
+numerics must match the XLA attention reference exactly)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from whisper_tpu.models.whisper import attention
+from whisper_tpu.ops.flash_attention import flash_attention
+
+
+@pytest.mark.parametrize("shape", [(1, 2, 256, 64), (2, 4, 300, 64), (1, 1, 128, 64)])
+def test_matches_reference(shape):
+    rng = np.random.default_rng(0)
+    B, H, T, D = shape
+    q = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    ref = np.asarray(attention(q, k, v))
+    got = np.asarray(flash_attention(q, k, v, block_q=128))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_unaligned_seq_padding_masked():
+    """T=1500 pads to the block multiple; padded keys must not leak."""
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((1, 2, 150, 64)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((1, 2, 150, 64)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((1, 2, 150, 64)).astype(np.float32))
+    ref = np.asarray(attention(q, k, v))
+    got = np.asarray(flash_attention(q, k, v, block_q=128))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_bf16_path():
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.standard_normal((1, 2, 256, 64)), jnp.bfloat16)
+    ref = np.asarray(attention(q, q, q), np.float32)
+    got = np.asarray(flash_attention(q, q, q, block_q=128), np.float32)
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)

@@ -195,7 +195,11 @@ class WhisperState:
         hp = ctx.hparams
         t0 = time.perf_counter()
         mel_win = self.mel_window(offset, n_ctx_used)
-        embed = _encode_jit(ctx.params, hp, mel_win, ctx.dtype)
+        # Pallas fused attention on TPU (reference flash_attn path,
+        # src/whisper.cpp:2159-2207); XLA attention elsewhere (the Pallas
+        # interpreter on CPU is orders slower than XLA's fusion)
+        use_flash = ctx.cparams.flash_attn and jax.default_backend() == "tpu"
+        embed = _encode_jit(ctx.params, hp, mel_win, ctx.dtype, use_flash)
         self.audio_embed = embed
         self.cross_k, self.cross_v = _cross_kv_jit(ctx.params, hp, embed)
         self.cross_k.block_until_ready()
@@ -336,9 +340,13 @@ class WhisperState:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("hp", "dtype"))
-def _encode_jit(params, hp, mel_win, dtype):
-    return model_mod.encoder_forward(params, hp, mel_win, dtype)
+@functools.partial(jax.jit, static_argnames=("hp", "dtype", "use_flash"))
+def _encode_jit(params, hp, mel_win, dtype, use_flash=False):
+    attn_fn = None
+    if use_flash:
+        from whisper_tpu.ops.flash_attention import encoder_attn_fn
+        attn_fn = encoder_attn_fn
+    return model_mod.encoder_forward(params, hp, mel_win, dtype, attn_fn)
 
 
 @functools.partial(jax.jit, static_argnames=("hp",))
