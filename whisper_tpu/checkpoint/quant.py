@@ -104,10 +104,20 @@ def _pack_qh(bits: np.ndarray) -> np.ndarray:
 
 
 def dequantize(raw: bytes | np.ndarray, ttype: int, nelems: int) -> np.ndarray:
-    """Decode a raw ggml tensor payload to float32 (flat array of nelems)."""
+    """Decode a raw ggml tensor payload to float32 (flat array of nelems).
+
+    Uses the threaded C++ runtime when built (whisper_tpu/runtime); the
+    numpy path below is the always-available fallback and the reference
+    implementation for the native tests."""
     buf = np.frombuffer(raw, dtype=np.uint8) if not isinstance(raw, np.ndarray) else raw
     if ttype == GGML_TYPE_F32:
         return buf.view(np.float32)[:nelems].copy()
+    if ttype in (GGML_TYPE_F16, GGML_TYPE_Q4_0, GGML_TYPE_Q4_1, GGML_TYPE_Q5_0,
+                 GGML_TYPE_Q5_1, GGML_TYPE_Q8_0) and nelems >= 1 << 16:
+        from whisper_tpu.runtime import native
+        out = native.dequantize(ttype, buf, nelems)
+        if out is not None:
+            return out
     if ttype == GGML_TYPE_F16:
         return buf.view(np.float16)[:nelems].astype(np.float32)
     if ttype == GGML_TYPE_I32:

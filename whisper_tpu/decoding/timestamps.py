@@ -42,6 +42,10 @@ def get_signal_energy(signal: np.ndarray, n_samples_per_half_window: int) -> np.
     """Moving average of |signal| with window 2*hw+1; the divisor stays
     2*hw+1 even at the edges (reference :8360-8376)."""
     hw = n_samples_per_half_window
+    from whisper_tpu.runtime import native
+    nat = native.signal_energy(np.asarray(signal, np.float32), hw)
+    if nat is not None:
+        return nat
     a = np.abs(np.asarray(signal, dtype=np.float32))
     kernel = np.ones(2 * hw + 1, np.float32)
     summed = np.convolve(a, kernel, mode="same")
