@@ -1,0 +1,88 @@
+"""WER/normalizer + download-tool tests (reference tests/librispeech/eval.py,
+models/download-ggml-model.sh)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from whisper_tpu.eval.wer import EnglishTextNormalizer, wer, wer_details
+from whisper_tpu.tools.download import MODELS, main as dl_main, model_url
+
+
+def test_wer_identical():
+    assert wer(["hello world"], ["hello world"]) == 0.0
+
+
+def test_wer_counts():
+    d = wer_details("the quick brown fox", "the quik brown", normalize=False)
+    assert d["sub"] == 1 and d["del"] == 1 and d["ins"] == 0
+    assert d["wer"] == pytest.approx(2 / 4)
+
+
+def test_wer_insertions():
+    d = wer_details("a b", "a x b y", normalize=False)
+    assert d["ins"] == 2
+    assert d["wer"] == pytest.approx(1.0)
+
+
+def test_corpus_wer_weighted():
+    refs = ["one two three four", "five"]
+    hyps = ["one two three four", "six"]
+    assert wer(refs, hyps) == pytest.approx(1 / 5)
+
+
+def test_normalizer_basics():
+    n = EnglishTextNormalizer()
+    assert n("Hello, World!") == "hello world"
+    assert n("I'm won't we're") == "i am will not we are"
+    assert n("Mr. Smith") == "mister smith"
+    assert n("1,000 dollars.") == "1000 dollars"
+    assert n("[noise] (laughs) ok") == "ok"
+
+
+def test_normalized_wer_forgiving():
+    assert wer(["Hello, World!"], ["hello world"], normalize=True) == 0.0
+
+
+def test_model_url_table():
+    assert len(MODELS) >= 25
+    assert model_url("tiny").endswith("/ggml-tiny.bin")
+    assert model_url("large-v3-q5_0").endswith("/ggml-large-v3-q5_0.bin")
+    assert "whisper-vad" in model_url("silero-v5.1.2")
+    with pytest.raises(ValueError):
+        model_url("bogus")
+
+
+def test_download_cli_list_and_errors(capsys):
+    assert dl_main(["--list"]) == 0
+    assert "large-v3" in capsys.readouterr().out
+    assert dl_main(["bogus"]) == 1
+    assert dl_main(["tiny", "--url-only"]) == 0
+    assert "ggml-tiny.bin" in capsys.readouterr().out
+
+
+def test_librispeech_runner_layout(tmp_path, jfk_like_audio):
+    """End-to-end on a fabricated mini LibriSpeech split."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_ggml_io import _make_test_tensors
+    from whisper_tpu.audio.io import write_wav
+    from whisper_tpu.audio.mel import mel_filterbank
+    from whisper_tpu.checkpoint import ggml_io
+    from whisper_tpu.checkpoint.init import tiny_test_hparams
+    from whisper_tpu.eval.librispeech import main as eval_main
+    from whisper_tpu.tokenizer import synthetic_vocab
+
+    hp = tiny_test_hparams()
+    model_path = str(tmp_path / "model.bin")
+    ggml_io.write_ggml(model_path, hp, mel_filterbank(80),
+                       synthetic_vocab(hp.n_vocab).id_to_token[:50256],
+                       _make_test_tensors(hp))
+    d = tmp_path / "LibriSpeech" / "test-clean" / "1" / "2"
+    d.mkdir(parents=True)
+    write_wav(str(d / "1-2-0001.wav"), jfk_like_audio[: 16000 * 2])
+    (d / "1-2.trans.txt").write_text("1-2-0001 HELLO WORLD\n")
+
+    rc = eval_main(["-m", model_path, "-d", str(tmp_path / "LibriSpeech")])
+    assert rc == 0  # prints WER (100% with random weights — that's fine)
