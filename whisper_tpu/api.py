@@ -120,6 +120,13 @@ class WhisperContext:
         """reference whisper_init_state (src/whisper.cpp:3390-3561)."""
         return WhisperState(self)
 
+    def full_batch(self, params: FullParams, audios, mesh=None):
+        """Transcribe many utterances concurrently (continuous batching —
+        the TPU-native replacement for whisper_full_parallel's threads;
+        see decoding/batch_full.py). Returns a list of segment lists."""
+        from whisper_tpu.decoding.batch_full import run_full_batch
+        return run_full_batch(self, params, audios, mesh=mesh)
+
     # model metadata getters (reference whisper_model_* / whisper_n_*)
     def n_vocab(self) -> int: return self.hparams.n_vocab
     def n_audio_ctx(self) -> int: return self.hparams.n_audio_ctx

@@ -1,0 +1,196 @@
+"""run_full_batch — transcribe MANY utterances concurrently on one chip
+(or data-parallel across a mesh).
+
+This is the TPU-native answer to whisper_full_parallel (reference
+src/whisper.cpp:7736-7864): instead of N host threads each walking its own
+audio chunk, N utterances advance their 30 s windows in lockstep — one
+batched encoder call and one batched on-device token loop per round.
+Utterances finish independently; finished rows ride along masked until all
+are done (their lanes do no useful work, which is the price of static
+shapes — with a data mesh the batch axis shards over chips).
+
+Batch mode is greedy/sampling (beam forking within an utterance group is
+the single-utterance path's job); temperature fallback reruns only the
+rows that need it, masked.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from whisper_tpu import languages
+from whisper_tpu.api import Segment, TokenData, WhisperState
+from whisper_tpu.config import CHUNK_SIZE, FullParams, SamplingStrategy
+from whisper_tpu.decoding import batch_loop, device_loop, filters, scoring
+from whisper_tpu.decoding import segments as seg_mod
+from whisper_tpu.models.whisper import KVCache
+
+DELTA_MIN = 10
+
+
+def run_full_batch(
+    ctx,
+    params: FullParams,
+    audios: Sequence[np.ndarray],
+    mesh=None,
+) -> List[List[Segment]]:
+    hp = ctx.hparams
+    vocab = ctx.vocab
+    B = len(audios)
+    if B == 0:
+        return []
+
+    consts, tids = filters.build_filter_consts(vocab, hp, params)
+    prompt_max = hp.n_text_ctx // 2 + 8
+    temperatures = params.temperatures()
+
+    no_timestamps = params.no_timestamps
+    prompt_init = [vocab.token_sot]
+    language = params.language or "en"
+    if hp.is_multilingual:
+        lang_id = languages.lang_id(language)
+        prompt_init.append(vocab.token_lang(lang_id))
+        prompt_init.append(vocab.token_translate if params.translate
+                           else vocab.token_transcribe)
+    if no_timestamps:
+        prompt_init.append(vocab.token_not)
+
+    # per-utterance host state
+    states = [ctx.create_state() for _ in range(B)]
+    for st, audio in zip(states, audios):
+        st.pcm_to_mel(np.asarray(audio, np.float32))
+    seek = np.array([params.offset_ms // 10] * B, np.int32)
+    seek_end = np.array([st.n_len_org for st in states], np.int32)
+    prompt_past: List[List[int]] = [[] for _ in range(B)]
+    results: List[List[Segment]] = [[] for _ in range(B)]
+    done = np.array([seek_end[b] < seek[b] + DELTA_MIN for b in range(B)])
+
+    data_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        data_sharding = NamedSharding(mesh, P("data"))
+
+    rng_seed = 0
+    while not done.all():
+        active = ~done
+
+        # ---- batched encode of each utterance's current window ------------
+        windows = [states[b].mel_window(int(seek[b]))[0] for b in range(B)]
+        mel_batch = jnp.stack(windows)                     # (B, n_mels, 3000)
+        if data_sharding is not None:
+            mel_batch = jax.device_put(mel_batch, data_sharding)
+        t0 = time.perf_counter()
+        from whisper_tpu.api import _encode_jit, _cross_kv_jit
+        embed = _encode_jit(ctx.params, hp, mel_batch, ctx.dtype,
+                            ctx.cparams.flash_attn and jax.default_backend() == "tpu")
+        ck, cv = _cross_kv_jit(ctx.params, hp, embed)
+        ck.block_until_ready()
+        for b in range(B):
+            if active[b]:
+                states[b].timings.add("encode", (time.perf_counter() - t0) / max(1, active.sum()))
+
+        # ---- per-row prompts ----------------------------------------------
+        prompts = np.zeros((B, prompt_max), np.int32)
+        plens = np.ones(B, np.int32)
+        row_prompts: List[List[int]] = []
+        for b in range(B):
+            pr: List[int] = []
+            if prompt_past[b] and params.n_max_text_ctx > 0:
+                n_take = min(params.n_max_text_ctx, hp.n_text_ctx // 2,
+                             len(prompt_past[b]))
+                pr = [vocab.token_prev] + prompt_past[b][-n_take:]
+            pr = (pr + prompt_init)[:prompt_max]
+            row_prompts.append(pr)
+            prompts[b, : len(pr)] = pr
+            plens[b] = len(pr)
+
+        # ---- decode attempts over the temperature ladder ------------------
+        needy = active.copy()
+        best = [None] * B          # per-row final result views
+        for it, t_cur in enumerate(temperatures):
+            if not needy.any():
+                break
+            strat = device_loop.SAMPLE if t_cur > 0 else device_loop.GREEDY_BEST
+            kv = KVCache.zeros(hp, B, ctx.dtype)
+            t0 = time.perf_counter()
+            res = batch_loop.decode_windows_batch(
+                ctx.params, hp, consts, ck, cv,
+                jnp.asarray(prompts), jnp.asarray(plens), kv,
+                jnp.float32(t_cur), jnp.asarray(seek), jnp.asarray(seek_end),
+                jnp.asarray(needy),
+                jax.random.PRNGKey(rng_seed + it),
+                tids=tids, n_rows=B, strategy=strat,
+                max_tokens=params.max_tokens,
+                single_segment=params.single_segment,
+                no_timestamps=no_timestamps, dtype=ctx.dtype)
+            res = jax.tree_util.tree_map(np.asarray, res)
+            n_steps = int(res.n_tokens)
+            for b in range(B):
+                if needy[b]:
+                    states[b].timings.add("decode",
+                                          (time.perf_counter() - t0) / max(1, needy.sum()),
+                                          max(1, n_steps))
+
+            for b in range(B):
+                if not needy[b]:
+                    continue
+                rl = int(res.result_len[b])
+                sc = scoring.score_sequence(
+                    res.tokens[b][:rl], res.tok_plog[b][:rl], params.length_penalty)
+                row_failed = bool(res.failed[b]) or (
+                    rl > 32 and sc.entropy < params.entropy_thold)
+                fallback = scoring.needs_fallback(
+                    row_failed, sc.avg_logprobs, float(res.no_speech_prob[b]),
+                    params, it == len(temperatures) - 1)
+                best[b] = (res, b, sc)
+                if not fallback:
+                    needy[b] = False
+            # rows still needy rerun at the next temperature
+
+        # ---- emit per-row segments ----------------------------------------
+        for b in range(B):
+            if not active[b]:
+                continue
+            res, rb, sc = best[b]
+            result_len = int(res.result_len[rb])
+            sd = int(res.seek_delta[rb])
+            nsp = float(res.no_speech_prob[rb])
+            states[b].no_speech_prob = nsp
+
+            tokens_cur = [
+                TokenData(id=int(res.tokens[rb, i]), tid=int(res.tok_tid[rb, i]),
+                          p=float(res.tok_p[rb, i]), plog=float(res.tok_plog[rb, i]),
+                          pt=float(res.tok_pt[rb, i]), ptsum=float(res.tok_ptsum[rb, i]))
+                for i in range(result_len)
+            ]
+            is_no_speech = (nsp > params.no_speech_thold
+                            and sc.avg_logprobs < params.logprob_thold)
+
+            new_past: List[int] = []
+            if row_prompts[b] and row_prompts[b][0] == vocab.token_prev:
+                new_past = row_prompts[b][1 : len(row_prompts[b]) - len(prompt_init)]
+            if not is_no_speech:
+                new_past += [td.id for td in tokens_cur]
+            prompt_past[b] = [] if params.no_context else new_past
+
+            if tokens_cur and not is_no_speech:
+                segs = seg_mod.emit_segments(
+                    tokens_cur, int(seek[b]), sd, vocab, ctx.tokenizer, params, nsp)
+                results[b].extend(segs)
+
+            if (result_len > 1
+                    and tokens_cur and len(tokens_cur) > 1
+                    and tokens_cur[-2].id < vocab.token_beg
+                    and tokens_cur[-1].id > vocab.token_beg):
+                sd = min(int(seek_end[b] - seek[b]), 100 * CHUNK_SIZE)
+            seek[b] += sd
+            if seek[b] + DELTA_MIN >= seek_end[b]:
+                done[b] = True
+        rng_seed += 1000
+
+    return results

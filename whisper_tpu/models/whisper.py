@@ -226,16 +226,27 @@ def decoder_forward(
     B, T = tokens.shape
     H = hp.n_text_head
 
+    # pos0 may be a scalar (all rows at the same position — the single-
+    # utterance loop) or a (B,) vector (multi-utterance continuous batching,
+    # where each row's prompt length differs)
+    pos0 = jnp.asarray(pos0, jnp.int32)
+    per_row = pos0.ndim == 1
+    pos0_vec = jnp.broadcast_to(pos0, (B,))
+
     x = dec["token_embed"].astype(dtype)[tokens]          # get_rows (:2504)
     # clamp like ggml_get_rows' bounds behavior — positions past n_text_ctx
     # can only arise in the padded tail of an overlong prompt
-    positions = jnp.minimum(pos0 + jnp.arange(T), hp.n_text_ctx - 1)
+    positions = jnp.minimum(pos0_vec[:, None] + jnp.arange(T)[None, :],
+                            hp.n_text_ctx - 1)            # (B, T)
     x = x + dec["pos_embed"].astype(dtype)[positions]
 
-    # causal mask against cache positions: query t may attend cache pos <= pos0+t
+    # causal mask against cache positions: query t may attend cache pos <=
+    # pos0+t; rows' garbage prompt-padding slots sit above pos0+t and are
+    # never visible (overwritten as generation advances)
     cache_pos = jnp.arange(kv.k.shape[3])
-    mask = cache_pos[None, :] <= (pos0 + jnp.arange(T))[:, None]  # (T, Tmax)
-    mask = mask[None, None]                                       # (1,1,T,Tmax)
+    mask = cache_pos[None, None, :] <= (
+        pos0_vec[:, None] + jnp.arange(T)[None, :])[:, :, None]  # (B,T,Tmax)
+    mask = mask[:, None]                                         # (B,1,T,Tmax)
 
     def body(x, scanned):
         blk, kv_k_l, kv_v_l, ck, cv = scanned
@@ -245,8 +256,14 @@ def decoder_forward(
         k_new = _split_heads(linear(h, blk["attn_k"]), H)
         v_new = _split_heads(linear(h, blk["attn_v"]), H)
         # write new K/V at positions [pos0, pos0+T)
-        kv_k_l = lax.dynamic_update_slice(kv_k_l, k_new, (0, 0, pos0, 0))
-        kv_v_l = lax.dynamic_update_slice(kv_v_l, v_new, (0, 0, pos0, 0))
+        if per_row:
+            def _upd(cache_b, new_b, p):
+                return lax.dynamic_update_slice(cache_b, new_b, (0, p, 0))
+            kv_k_l = jax.vmap(_upd)(kv_k_l, k_new, pos0_vec)
+            kv_v_l = jax.vmap(_upd)(kv_v_l, v_new, pos0_vec)
+        else:
+            kv_k_l = lax.dynamic_update_slice(kv_k_l, k_new, (0, 0, pos0, 0))
+            kv_v_l = lax.dynamic_update_slice(kv_v_l, v_new, (0, 0, pos0, 0))
         o = attention(q, kv_k_l, kv_v_l, mask)
         x = x + linear(_merge_heads(o), blk["attn_out"])
 
