@@ -1,0 +1,96 @@
+"""Int8 quantized matmul kernel + keep-quantized model path tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from whisper_tpu.checkpoint import quant
+from whisper_tpu.ops.quant_matmul import (
+    QBLOCK,
+    dequant_reference,
+    quant_matmul,
+    repack_for_tpu,
+)
+
+
+def _make_qweight(rng, n_in, n_out, ttype=quant.GGML_TYPE_Q8_0):
+    w = rng.standard_normal((n_out, n_in)).astype(np.float32) * 0.05
+    raw = quant.quantize(w, ttype)
+    q, d, m = quant.dequantize_to_int8_blocks(raw, ttype, w.size)
+    qT, dT = repack_for_tpu(q, d, n_out, n_in)
+    w_deq = quant.dequantize(raw, ttype, w.size).reshape(n_out, n_in)
+    return qT, dT, w_deq
+
+
+def test_repack_matches_dequant():
+    rng = np.random.default_rng(0)
+    qT, dT, w_deq = _make_qweight(rng, 64, 128)
+    recon = np.asarray(dequant_reference(jnp.asarray(qT), jnp.asarray(dT)))
+    np.testing.assert_allclose(recon, w_deq.T, rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("shape", [(2, 64, 128), (1, 128, 256), (5, 256, 64)])
+def test_quant_matmul_matches_dense(shape):
+    B, n_in, n_out = shape
+    rng = np.random.default_rng(1)
+    qT, dT, w_deq = _make_qweight(rng, n_in, n_out)
+    x = rng.standard_normal((B, n_in)).astype(np.float32) * 0.1
+    want = x @ w_deq.T
+    got = np.asarray(quant_matmul(jnp.asarray(x), jnp.asarray(qT),
+                                  jnp.asarray(dT), out_tile=128))
+    # kernel computes in bf16 inputs / f32 accum
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
+def test_quant_matmul_3d_input():
+    rng = np.random.default_rng(2)
+    qT, dT, w_deq = _make_qweight(rng, 64, 128)
+    x = rng.standard_normal((2, 3, 64)).astype(np.float32) * 0.1
+    got = np.asarray(quant_matmul(jnp.asarray(x), jnp.asarray(qT), jnp.asarray(dT),
+                                  out_tile=128))
+    assert got.shape == (2, 3, 128)
+    want = x.reshape(-1, 64) @ w_deq.T
+    np.testing.assert_allclose(got.reshape(-1, 128), want, rtol=3e-2, atol=3e-2)
+
+
+def test_keep_quantized_model_close_to_dequantized(tmp_path):
+    """A Q8_0 checkpoint loaded keep_quantized must produce logits close to
+    the dequant-on-load path (only bf16-in-kernel rounding differs)."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_ggml_io import _make_test_tensors
+    import whisper_tpu as wt
+    from whisper_tpu.audio.mel import mel_filterbank
+    from whisper_tpu.checkpoint import ggml_io
+    from whisper_tpu.checkpoint.init import tiny_test_hparams
+    from whisper_tpu.config import ContextParams
+    from whisper_tpu.models import whisper as m
+    from whisper_tpu.tokenizer import synthetic_vocab
+
+    hp = tiny_test_hparams()
+    path = str(tmp_path / "q8.bin")
+    ggml_io.write_ggml(path, hp, mel_filterbank(80),
+                       synthetic_vocab(hp.n_vocab).id_to_token[:50256],
+                       _make_test_tensors(hp, ttype=quant.GGML_TYPE_Q8_0))
+
+    ctx_f = wt.WhisperContext.new_with_params(path, ContextParams(dtype="float32"))
+    ctx_q = wt.WhisperContext.new_with_params(
+        path, ContextParams(dtype="float32", keep_quantized=True))
+    # structure: quantized blocks carry q/d instead of w
+    assert "q" in ctx_q.params["decoder"]["blocks"]["mlp_0"]
+    assert "w" in ctx_f.params["decoder"]["blocks"]["mlp_0"]
+
+    mel = jnp.zeros((1, hp.n_mels, 2 * hp.n_audio_ctx), jnp.float32)
+    e_f = np.asarray(m.encoder_forward(ctx_f.params, hp, mel, jnp.float32))
+    e_q = np.asarray(m.encoder_forward(ctx_q.params, hp, mel, jnp.float32))
+    assert np.abs(e_f - e_q).max() < 0.15  # bf16 kernel rounding only
+
+    # full pipeline runs end-to-end with quantized weights
+    st = ctx_q.create_state()
+    from whisper_tpu.config import FullParams
+    p = FullParams.default()
+    p.print_progress = False
+    p.temperature_inc = 0.0
+    rng = np.random.default_rng(0)
+    assert st.full(p, (0.1 * rng.standard_normal(32000)).astype(np.float32)) == 0

@@ -79,8 +79,9 @@ class WhisperContext:
     def new_with_params(cls, path: str, params: Optional[ContextParams] = None) -> "WhisperContext":
         """reference whisper_init_from_file_with_params (src/whisper.cpp:3640)."""
         from whisper_tpu.errors import InitError, WhisperError
+        cp = params or ContextParams()
         try:
-            model = loader_mod.load_model(path, (params or ContextParams()).dtype)
+            model = loader_mod.load_model(path, cp.dtype, cp.keep_quantized)
         except WhisperError:
             raise
         except (OSError, ValueError, EOFError) as e:
@@ -131,8 +132,18 @@ class WhisperContext:
     def n_vocab(self) -> int: return self.hparams.n_vocab
     def n_audio_ctx(self) -> int: return self.hparams.n_audio_ctx
     def n_text_ctx(self) -> int: return self.hparams.n_text_ctx
-    def n_len_audio_state(self) -> int: return self.hparams.n_audio_state
+    def model_n_audio_state(self) -> int: return self.hparams.n_audio_state
+    def model_n_audio_head(self) -> int: return self.hparams.n_audio_head
+    def model_n_audio_layer(self) -> int: return self.hparams.n_audio_layer
+    def model_n_text_state(self) -> int: return self.hparams.n_text_state
+    def model_n_text_head(self) -> int: return self.hparams.n_text_head
+    def model_n_text_layer(self) -> int: return self.hparams.n_text_layer
+    def model_n_mels(self) -> int: return self.hparams.n_mels
+    def model_ftype(self) -> int: return self.hparams.ftype
     def model_type(self) -> str: return self.hparams.model_type.value
+    def model_type_readable(self) -> str:
+        """reference whisper_model_type_readable (src/whisper.cpp:4249)."""
+        return self.hparams.model_type.value
 
     # special token getters (reference whisper_token_*)
     def token_eot(self) -> int: return self.vocab.token_eot
@@ -278,6 +289,22 @@ class WhisperState:
 
     def full_get_token_id(self, i: int, j: int) -> int:
         return self.segments[i].tokens[j].id
+
+    def full_get_token_prob(self, i: int, j: int) -> float:
+        """reference whisper_full_get_token_p."""
+        return self.segments[i].tokens[j].p
+
+    def full_get_segment_no_speech_prob(self, i: int) -> float:
+        return self.segments[i].no_speech_prob
+
+    def full_get_segment_speaker_turn_next(self, i: int) -> bool:
+        return self.segments[i].speaker_turn_next
+
+    def full_lang_id(self) -> int:
+        """reference whisper_full_lang_id (src/whisper.cpp:7875).
+        (whisper_n_len / n_len_org are the plain attributes n_len and
+        n_len_org on this object.)"""
+        return self.lang_id
 
     def full_get_token_text(self, i: int, j: int) -> str:
         return self.ctx.tokenizer.token_str(self.segments[i].tokens[j].id)

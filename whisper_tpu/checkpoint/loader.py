@@ -58,14 +58,31 @@ def _get(t: Dict[str, ggml_io.RawTensor], name: str) -> Optional[np.ndarray]:
     return None if rt is None else rt.to_float32()
 
 
-def _linear(t, prefix: str, has_bias: bool = True) -> Optional[Dict[str, np.ndarray]]:
-    w = _get(t, prefix + ".weight")
-    if w is None:
+# zero-offset block formats that can stay quantized on device
+_SYMMETRIC_QTYPES = (quant.GGML_TYPE_Q4_0, quant.GGML_TYPE_Q5_0,
+                     quant.GGML_TYPE_Q8_0)
+
+
+def _linear(t, prefix: str, has_bias: bool = True,
+            keep_quantized: bool = False) -> Optional[Dict[str, np.ndarray]]:
+    rt = t.get(prefix + ".weight")
+    if rt is None:
         return None
-    out = {"w": np.ascontiguousarray(w.T)}  # [out,in] -> [in,out]
+    out: Dict[str, np.ndarray]
+    if (keep_quantized and rt.ttype in _SYMMETRIC_QTYPES and len(rt.ne) == 2
+            and rt.ne[0] % 32 == 0):
+        # keep int8 blocks + scales for the dequant-in-kernel matmul path
+        from whisper_tpu.ops.quant_matmul import repack_for_tpu
+        q, d, _m = quant.dequantize_to_int8_blocks(rt.data, rt.ttype, rt.nelements)
+        n_out, n_in = rt.shape  # numpy row-major [out, in]
+        qT, dT = repack_for_tpu(q, d, n_out, n_in)
+        out = {"q": qT, "d": dT}
+    else:
+        w = rt.to_float32()
+        out = {"w": np.ascontiguousarray(w.T)}  # [out,in] -> [in,out]
     if has_bias:
         b = _get(t, prefix + ".bias")
-        out["b"] = b if b is not None else np.zeros(w.shape[0], np.float32)
+        out["b"] = b if b is not None else np.zeros(rt.shape[0], np.float32)
     return out
 
 
@@ -93,18 +110,20 @@ def params_from_checkpoint(
     hp = ckpt.hparams
     t = ckpt.tensors
 
+    kq = keep_quantized
+
     enc_blocks = []
     for il in range(hp.n_audio_layer):
         p = f"encoder.blocks.{il}"
         blk = {
             "attn_ln": _ln(t, f"{p}.attn_ln"),
-            "attn_q": _linear(t, f"{p}.attn.query"),
-            "attn_k": _linear(t, f"{p}.attn.key", has_bias=False),
-            "attn_v": _linear(t, f"{p}.attn.value"),
-            "attn_out": _linear(t, f"{p}.attn.out"),
+            "attn_q": _linear(t, f"{p}.attn.query", keep_quantized=kq),
+            "attn_k": _linear(t, f"{p}.attn.key", has_bias=False, keep_quantized=kq),
+            "attn_v": _linear(t, f"{p}.attn.value", keep_quantized=kq),
+            "attn_out": _linear(t, f"{p}.attn.out", keep_quantized=kq),
             "mlp_ln": _ln(t, f"{p}.mlp_ln"),
-            "mlp_0": _linear(t, f"{p}.mlp.0"),
-            "mlp_2": _linear(t, f"{p}.mlp.2"),
+            "mlp_0": _linear(t, f"{p}.mlp.0", keep_quantized=kq),
+            "mlp_2": _linear(t, f"{p}.mlp.2", keep_quantized=kq),
         }
         if any(v is None for v in blk.values()):
             enc_blocks = []
@@ -116,18 +135,18 @@ def params_from_checkpoint(
         p = f"decoder.blocks.{il}"
         blk = {
             "attn_ln": _ln(t, f"{p}.attn_ln"),
-            "attn_q": _linear(t, f"{p}.attn.query"),
-            "attn_k": _linear(t, f"{p}.attn.key", has_bias=False),
-            "attn_v": _linear(t, f"{p}.attn.value"),
-            "attn_out": _linear(t, f"{p}.attn.out"),
+            "attn_q": _linear(t, f"{p}.attn.query", keep_quantized=kq),
+            "attn_k": _linear(t, f"{p}.attn.key", has_bias=False, keep_quantized=kq),
+            "attn_v": _linear(t, f"{p}.attn.value", keep_quantized=kq),
+            "attn_out": _linear(t, f"{p}.attn.out", keep_quantized=kq),
             "cross_ln": _ln(t, f"{p}.cross_attn_ln"),
-            "cross_q": _linear(t, f"{p}.cross_attn.query"),
-            "cross_k": _linear(t, f"{p}.cross_attn.key", has_bias=False),
-            "cross_v": _linear(t, f"{p}.cross_attn.value"),
-            "cross_out": _linear(t, f"{p}.cross_attn.out"),
+            "cross_q": _linear(t, f"{p}.cross_attn.query", keep_quantized=kq),
+            "cross_k": _linear(t, f"{p}.cross_attn.key", has_bias=False, keep_quantized=kq),
+            "cross_v": _linear(t, f"{p}.cross_attn.value", keep_quantized=kq),
+            "cross_out": _linear(t, f"{p}.cross_attn.out", keep_quantized=kq),
             "mlp_ln": _ln(t, f"{p}.mlp_ln"),
-            "mlp_0": _linear(t, f"{p}.mlp.0"),
-            "mlp_2": _linear(t, f"{p}.mlp.2"),
+            "mlp_0": _linear(t, f"{p}.mlp.0", keep_quantized=kq),
+            "mlp_2": _linear(t, f"{p}.mlp.2", keep_quantized=kq),
         }
         if any(v is None for v in blk.values()):
             dec_blocks = []
@@ -169,8 +188,10 @@ def params_from_checkpoint(
     )
 
 
-def load_model(path: str, compute_dtype: str = "bfloat16") -> LoadedModel:
+def load_model(path: str, compute_dtype: str = "bfloat16",
+               keep_quantized: bool = False) -> LoadedModel:
     """One-call load: parse .bin + build pytree (reference call stack
     whisper_init_from_file_with_params -> whisper_model_load,
     src/whisper.cpp:3640-3721 + 1503)."""
-    return params_from_checkpoint(ggml_io.read_ggml(path), compute_dtype)
+    return params_from_checkpoint(ggml_io.read_ggml(path), compute_dtype,
+                                  keep_quantized)

@@ -195,6 +195,8 @@ class ContextParams:
     dtype: str = "bfloat16"         # compute dtype for matmuls/attention
     mesh_shape: Optional[Tuple[int, int]] = None   # (data, model); None = single chip
     batch_size: int = 1             # utterance batch for data-parallel full()
+    keep_quantized: bool = False    # keep Q4_0/Q5_0/Q8_0 weights as int8
+                                    # blocks + scales in HBM (Pallas matmul)
 
 
 @dataclasses.dataclass

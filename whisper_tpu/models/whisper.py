@@ -40,7 +40,13 @@ def layer_norm(x: jax.Array, p: Params, eps: float = 1e-5) -> jax.Array:
 
 
 def linear(x: jax.Array, p: Params) -> jax.Array:
-    y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32)
+    if "q" in p:
+        # int8-block weights resident in HBM; dequant-in-kernel matmul
+        # (ops/quant_matmul.py — the reference's quantized-microkernel idea)
+        from whisper_tpu.ops.quant_matmul import quant_matmul
+        y = quant_matmul(x, p["q"], p["d"])
+    else:
+        y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32)
     if "b" in p:
         y = y + p["b"]
     return y.astype(x.dtype)

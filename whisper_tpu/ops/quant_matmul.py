@@ -1,0 +1,105 @@
+"""Int8-block quantized matmul — dequantize-in-kernel Pallas op.
+
+The reference's quantized path dequantizes blocks inside its CPU/CUDA
+matmul microkernels (ggml-quants.c + per-backend kernels) so weights cross
+memory at ~1 byte/elem. Same idea here: weights live in HBM as int8 with
+per-32-block scales (checkpoint/quant.dequantize_to_int8_blocks layout,
+repacked to column-major blocks by the loader); the kernel upcasts q*d to
+bf16 in VMEM and feeds the MXU. For the bandwidth-bound decoder token step
+this halves (vs bf16) or quarters (vs f32) the weight traffic — the
+dominant cost at batch 1-8.
+
+Layout: q (IN, OUT) int8; d (IN//32, OUT) f32 — scale of the 32-row input
+block. y = x @ (q * repeat(d, 32, axis=0)).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+QBLOCK = 32
+
+
+def _qmm_kernel(x_ref, q_ref, d_ref, o_ref):
+    # x: (Bp, IN) bf16 | q: (IN, OT) i8 | d: (IN//32, OT) f32 | o: (Bp, OT)
+    q = q_ref[:]
+    d = d_ref[:]
+    IN, OT = q.shape
+    # element-repeat each scale row over its 32 input rows
+    # (NB: pltpu.repeat TILES copies — wrong op here)
+    qb = q.reshape(IN // QBLOCK, QBLOCK, OT).astype(jnp.bfloat16)
+    w = (qb * d.astype(jnp.bfloat16)[:, None, :]).reshape(IN, OT)
+    o_ref[:] = jax.lax.dot_general(
+        x_ref[:], w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_tile", "interpret"))
+def quant_matmul(
+    x: jax.Array,          # (..., IN) bf16/f32
+    q: jax.Array,          # (IN, OUT) int8
+    d: jax.Array,          # (IN//32, OUT) f32
+    out_tile: int = 512,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """y[..., OUT] = x @ dequant(q, d); accumulation in f32."""
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu",)
+
+    IN, OUT = q.shape
+    lead = x.shape[:-1]
+    B = 1
+    for s in lead:
+        B *= s
+    xf = x.reshape(B, IN).astype(jnp.bfloat16)
+
+    # pad rows to the bf16 sublane multiple and OUT to the tile
+    Bp = max(16, -(-B // 16) * 16)
+    if Bp != B:
+        xf = jnp.pad(xf, ((0, Bp - B), (0, 0)))
+    out_tile = min(out_tile, OUT)
+    Op = -(-OUT // out_tile) * out_tile
+    if Op != OUT:
+        q = jnp.pad(q, ((0, 0), (0, Op - OUT)))
+        d = jnp.pad(d, ((0, 0), (0, Op - OUT)))
+
+    y = pl.pallas_call(
+        _qmm_kernel,
+        out_shape=jax.ShapeDtypeStruct((Bp, Op), jnp.float32),
+        grid=(Op // out_tile,),
+        in_specs=[
+            pl.BlockSpec((Bp, IN), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((IN, out_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((IN // QBLOCK, out_tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Bp, out_tile), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Bp * IN * Op,
+            bytes_accessed=IN * Op + IN // QBLOCK * Op * 4 + Bp * IN * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xf, q, d)
+
+    return y[:B, :OUT].reshape(lead + (OUT,))
+
+
+def dequant_reference(q: jax.Array, d: jax.Array) -> jax.Array:
+    """Materialized dequantization (the XLA fallback and test oracle)."""
+    return q.astype(jnp.float32) * jnp.repeat(d, QBLOCK, axis=0)
+
+
+def repack_for_tpu(w_rowmajor_q, w_rowmajor_d, out_dim: int, in_dim: int):
+    """(nb, 32) int8 + (nb,) scales over a row-major [out, in] tensor ->
+    (in, out) int8 + (in//32, out) f32 for quant_matmul."""
+    import numpy as np
+    q = np.asarray(w_rowmajor_q).reshape(out_dim, in_dim).T.copy()
+    d = np.asarray(w_rowmajor_d).reshape(out_dim, in_dim // QBLOCK).T.copy()
+    return q, d
