@@ -150,3 +150,24 @@ def test_random_model_matches_loader_layout():
     shapes1 = jax.tree_util.tree_map(lambda x: x.shape, rnd.params)
     shapes2 = jax.tree_util.tree_map(lambda x: x.shape, loaded.params)
     assert shapes1 == shapes2
+
+
+def test_native_cache_roundtrip(tmp_path):
+    """orbax-backed fast-load cache (SURVEY.md §5.4)."""
+    import os
+    from whisper_tpu.checkpoint import native_cache
+    hp = tiny_test_hparams()
+    tensors = _make_test_tensors(hp)
+    path = str(tmp_path / "model.bin")
+    with open(path, "wb") as f:
+        f.write(_write_checkpoint(hp, tensors).getvalue())
+    cache = str(tmp_path / "cache")
+    m1 = native_cache.load_model_cached(path, "float32", cache_dir=cache)
+    assert os.path.exists(cache + "/meta.json")
+    m2 = native_cache.load_model_cached(path, "float32", cache_dir=cache)
+    assert m2.hparams == m1.hparams
+    assert m2.vocab.token_beg == m1.vocab.token_beg
+    import jax
+    for a, b in zip(jax.tree_util.tree_leaves(m1.params),
+                    jax.tree_util.tree_leaves(m2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -145,3 +145,16 @@ def test_cli_missing_file_errors(capsys):
     from whisper_tpu.serving.cli import main
     assert main([]) == 1
     assert main(["-m", "/nonexistent.bin", "-f", "x.wav"]) == 3
+
+
+def test_wts_writer(segs):
+    import io as _io
+    ctx = wt.WhisperContext.random(hp=tiny_test_hparams(),
+                                   params=ContextParams(dtype="float32"))
+    buf = _io.StringIO()
+    writers.write_wts(segs, ctx, buf, "in.wav", 3.0)
+    out = buf.getvalue()
+    assert out.startswith("#!/bin/bash")
+    assert "ffmpeg -i in.wav" in out
+    assert "drawtext" in out
+    assert out.rstrip().endswith("out.mp4")

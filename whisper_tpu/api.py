@@ -176,13 +176,18 @@ class WhisperState:
         # jitted fns are cached per (ctx id); jax's jit cache dedups by shape
 
     # ------------------------------------------------------------------ mel
-    def pcm_to_mel(self, samples: np.ndarray) -> None:
+    def pcm_to_mel(self, samples: np.ndarray, debug: bool = False) -> None:
         """reference whisper_pcm_to_mel_with_state (src/whisper.cpp:3985)."""
         t0 = time.perf_counter()
         self.mel, self.n_len, self.n_len_org = mel_mod.log_mel_spectrogram(
             samples, self.ctx.mel_filters)
         self.mel.block_until_ready()
         self.timings.add("mel", time.perf_counter() - t0)
+        if debug:
+            # reference debug_mode mel dump (src/whisper.cpp:3264-3273)
+            import json
+            with open("log_mel_spectrogram.json", "w") as f:
+                json.dump(np.asarray(self.mel).flatten().tolist(), f)
 
     def set_mel(self, mel: np.ndarray, n_len_org: Optional[int] = None) -> None:
         """reference whisper_set_mel_with_state (src/whisper.cpp:4005-4035)."""

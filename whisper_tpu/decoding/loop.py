@@ -50,7 +50,7 @@ def run_full(state: WhisperState, params: FullParams, samples: Optional[np.ndarr
 
     # --- mel ---------------------------------------------------------------
     if samples is not None and len(samples) > 0:
-        state.pcm_to_mel(samples)
+        state.pcm_to_mel(samples, debug=params.debug_mode)
     if state.mel is None:
         raise RuntimeError("no mel: provide samples or call set_mel first")
 

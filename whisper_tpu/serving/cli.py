@@ -228,11 +228,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                     lang_id=state.lang_id)
         if args.output_words:
             with open(f"{base}.wts", "w", encoding="utf-8") as f:
-                for s in state.segments:
-                    for td in s.tokens:
-                        if td.id < ctx.token_eot():
-                            f.write(f"{td.t0} {td.t1} "
-                                    f"{ctx.tokenizer.token_str(td.id)}\n")
+                writers.write_wts(state.segments, ctx, f, fname_inp=fname,
+                                  t_sec=len(samples) / 16000.0,
+                                  fname_out=f"{base}.mp4",
+                                  font_path=args.font_path)
         if args.log_score:
             with open(f"{base}.score.txt", "w", encoding="utf-8") as f:
                 writers.write_score(state.segments, ctx, f)

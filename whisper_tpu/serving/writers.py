@@ -176,6 +176,48 @@ def system_info_string() -> str:
         return "JAX unavailable"
 
 
+def write_wts(
+    segments: List[Segment],
+    ctx: WhisperContext,
+    f,
+    fname_inp: str,
+    t_sec: float,
+    fname_out: str = "out.mp4",
+    font_path: str = "/usr/share/fonts/truetype/dejavu/DejaVuSansMono.ttf",
+) -> None:
+    """Karaoke ffmpeg script (reference output_wts, cli.cpp:757-875):
+    a bash script drawing token-level word highlights timed by t0/t1."""
+    f.write("#!/bin/bash\n\n")
+    f.write(f"ffmpeg -i {fname_inp} -f lavfi -i "
+            f"color=size=1200x120:duration={t_sec}:rate=25:color=black -vf \"")
+    first_seg = True
+    for s in segments:
+        toks = [td for td in s.tokens if td.id < ctx.vocab.token_eot]
+        if not toks:
+            continue
+        if not first_seg:
+            f.write(",")
+        first_seg = False
+        full_text = "".join(ctx.tokenizer.token_str(td.id) or "" for td in toks)
+        esc = full_text.replace("'", "’").replace('"', "”").replace(":", "")
+        # gray background line for the whole segment
+        f.write(f"drawtext=fontfile='{font_path}':fontsize=24:fontcolor=gray:"
+                f"x=(w-text_w)/2:y=h/2:text='{esc}':"
+                f"enable='between(t,{s.t0 / 100.0},{s.t1 / 100.0})'")
+        # white highlight per token over its [t0, t1) span
+        acc = ""
+        for td in toks:
+            txt = (ctx.tokenizer.token_str(td.id) or "")
+            acc += txt
+            acc_esc = acc.replace("'", "’").replace('"', "”").replace(":", "")
+            tt0 = (td.t0 if td.t0 >= 0 else s.t0) / 100.0
+            tt1 = (td.t1 if td.t1 >= 0 else s.t1) / 100.0
+            f.write(f",drawtext=fontfile='{font_path}':fontsize=24:"
+                    f"fontcolor=lightgreen:x=(w-text_w)/2+8:y=h/2:"
+                    f"text='{acc_esc}':enable='between(t,{tt0},{tt1})'")
+    f.write(f'" -c:v libx264 -pix_fmt yuv420p -y {fname_out}\n')
+
+
 WRITERS = {
     "txt": write_txt,
     "vtt": write_vtt,
