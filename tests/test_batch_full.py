@@ -113,3 +113,12 @@ def test_batch_on_data_mesh(ctx, audios):
         assert segs
         for s in segs:
             assert s.t1 >= s.t0 >= 0
+
+
+def test_distributed_helpers_single_process():
+    from whisper_tpu.parallel import distributed
+    info = distributed.init_distributed()  # no-op single process
+    assert info["process_index"] == 0
+    assert info["process_count"] == 1
+    assert distributed.local_batch_slice(8) == slice(0, 8)
+    assert distributed.host_count() == 1

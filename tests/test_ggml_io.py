@@ -171,3 +171,37 @@ def test_native_cache_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(m1.params),
                     jax.tree_util.tree_leaves(m2.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_gguf_roundtrip(tmp_path):
+    """GGUF container (reference ggml/src/gguf.cpp) round trip + shared
+    loader path."""
+    from whisper_tpu.audio.mel import mel_filterbank
+    from whisper_tpu.checkpoint import gguf
+    hp = tiny_test_hparams()
+    tensors = _make_test_tensors(hp)
+    path = str(tmp_path / "model.gguf")
+    vocab = synthetic_vocab(hp.n_vocab)
+    gguf.write_gguf(path, hp, mel_filterbank(hp.n_mels),
+                    vocab.id_to_token[:50256], tensors)
+    ckpt = gguf.read_gguf(path)
+    assert ckpt.hparams == hp
+    assert len(ckpt.vocab_tokens) == 50256
+    assert ckpt.mel_filters.shape == (hp.n_mels, 201)
+    for name, (arr, ttype) in list(tensors.items())[:5]:
+        rt = ckpt.tensors[name]
+        assert rt.shape == arr.shape
+        if ttype == quant.GGML_TYPE_F32:
+            np.testing.assert_array_equal(rt.to_float32(), arr)
+    model = gguf.load_model_gguf(path, "float32")
+    assert model.params and model.hparams == hp
+
+
+def test_gguf_bad_magic(tmp_path):
+    from whisper_tpu.checkpoint import gguf
+    from whisper_tpu.errors import InvalidModelFormat
+    p = tmp_path / "bad.gguf"
+    p.write_bytes(b"\x00" * 64)
+    import pytest as _pytest
+    with _pytest.raises(InvalidModelFormat):
+        gguf.read_gguf(str(p))

@@ -1,0 +1,60 @@
+"""Multi-host initialization + batch sharding helpers.
+
+reference: the ONLY networked path in whisper.cpp is the ggml-rpc tensor
+server (SURVEY.md §5.8); the TPU-native story is jax.distributed — ICI
+collectives within a pod slice, DCN across slices. One process per host,
+each seeing its local chips; GSPMD shards the global batch.
+
+Typical pod-slice serving run (per host):
+
+    from whisper_tpu.parallel import distributed, mesh
+    distributed.init_distributed()            # env-driven on TPU pods
+    m = mesh.make_mesh(n_data=jax.device_count() // TP, n_model=TP)
+    params = mesh.shard_params(model.params, m)
+    results = ctx.full_batch(p, my_host_audios, mesh=m)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> dict:
+    """Initialize jax.distributed for a multi-host run.
+
+    On TPU pods, all three parameters auto-detect from the environment
+    (leave None). For manual CPU/GPU bring-up, supply them. Returns a
+    summary dict (process_index, process_count, device counts)."""
+    already = jax.process_count() > 1
+    if not already and (coordinator_address or num_processes or
+                        os.environ.get("JAX_COORDINATOR_ADDRESS")):
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return {
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "local_devices": jax.local_device_count(),
+        "global_devices": jax.device_count(),
+    }
+
+
+def local_batch_slice(global_batch: int) -> slice:
+    """This host's slice of a globally-sharded utterance batch (each host
+    feeds its own audio; GSPMD stitches the global array)."""
+    per = global_batch // max(1, jax.process_count())
+    i = jax.process_index()
+    return slice(i * per, (i + 1) * per)
+
+
+def host_count() -> int:
+    return jax.process_count()
