@@ -57,6 +57,7 @@ def decode_window_host(
     n_dec: int,
     strategy: int,
     rng_seed: int = 0,
+    beam_size: int = 5,
 ) -> WindowResult:
     ctx = state.ctx
     hp = ctx.hparams
@@ -123,18 +124,71 @@ def decode_window_host(
             jnp.asarray(seek_delta), jnp.float32(t_cur),
             jnp.asarray(g_reject), jnp.float32(params.grammar_penalty)))
 
-        # ---- sampling (greedy / multinomial; beam falls back to greedy) ----
+        # ---- sampling ------------------------------------------------------
         toks = np.zeros(B, np.int32)
-        for j in range(B):
-            if not live[j]:
-                toks[j] = last_token[j]
-                continue
-            if strategy == SAMPLE and t_cur > 0:
-                pj = probs[j].astype(np.float64)
-                s = pj.sum()
-                toks[j] = int(rngs[j].choice(V, p=pj / s)) if s > 0 else int(np.argmax(pj))
-            else:
-                toks[j] = int(np.argmax(probs[j]))
+        if strategy == BEAM:
+            # beam candidates: top-k per live decoder, global sort by
+            # cumulative logprob, dedup equal sequences, reassign to live
+            # slots with KV fork (reference :7239-7290)
+            k = beam_size
+            cands = []  # (score, src, tok, plog)
+            for j in range(B):
+                if not live[j]:
+                    continue
+                top = np.argsort(-logprobs[j])[:k]
+                for tk in top:
+                    cands.append((sum_lp[j] + logprobs[j][tk], j, int(tk),
+                                  float(logprobs[j][tk])))
+            cands.sort(key=lambda c: (-c[0], c[1]))
+            live_slots = [j for j in range(B) if live[j]]
+            chosen = []
+            seen_seqs = []
+            ci = 0
+            for _slot in live_slots:
+                while ci < len(cands):
+                    sc, src, tk, pl = cands[ci]
+                    seq = tokens[src, :i].tolist() + [tk]
+                    if i > 0 and seq in seen_seqs:
+                        ci += 1
+                        continue
+                    break
+                if ci >= len(cands):
+                    sc, src, tk, pl = cands[0]
+                    seq = tokens[src, :i].tolist() + [tk]
+                chosen.append((src, tk))
+                seen_seqs.append(seq)
+                ci += 1
+            # fork: gather per-decoder state from source beams
+            srcs = np.arange(B)
+            for slot, (src, tk) in zip(live_slots, chosen):
+                srcs[slot] = src
+                toks[slot] = tk
+            for j in range(B):
+                if not live[j]:
+                    toks[j] = last_token[j]
+            tokens = tokens[srcs]
+            tok_p, tok_plog = tok_p[srcs], tok_plog[srcs]
+            tok_pt, tok_ptsum, tok_tid = tok_pt[srcs], tok_ptsum[srcs], tok_tid[srcs]
+            sum_lp = sum_lp[srcs]
+            seek_delta, has_ts, result_len = (seek_delta[srcs], has_ts[srcs],
+                                              result_len[srcs])
+            probs, logprobs = probs[srcs], logprobs[srcs]
+            pt, ptsum, tid = pt[srcs], ptsum[srcs], tid[srcs]
+            if params.grammar_rules is not None:
+                grammars = [grammars[s].copy() if grammars[s] else None
+                            for s in srcs]
+            kv = kv.reorder(jnp.asarray(srcs))
+        else:
+            for j in range(B):
+                if not live[j]:
+                    toks[j] = last_token[j]
+                    continue
+                if strategy == SAMPLE and t_cur > 0:
+                    pj = probs[j].astype(np.float64)
+                    s = pj.sum()
+                    toks[j] = int(rngs[j].choice(V, p=pj / s)) if s > 0 else int(np.argmax(pj))
+                else:
+                    toks[j] = int(np.argmax(probs[j]))
 
         p_tok = probs[np.arange(B), toks]
         plog_tok = logprobs[np.arange(B), toks]

@@ -175,7 +175,8 @@ def run_full(state: WhisperState, params: FullParams, samples: Optional[np.ndarr
                 t0 = time.perf_counter()
                 result = decode_window_host(
                     state, params, consts, tids, prompt, t_cur, seek, seek_end,
-                    n_dec_cur, strat, rng_seed + it)
+                    n_dec_cur, strat, rng_seed + it,
+                    beam_size=params.beam_search.beam_size)
                 n_steps = int(result.n_tokens)
                 state.timings.add("decode", time.perf_counter() - t0, max(1, n_steps))
                 state.no_speech_prob = float(result.no_speech_prob)
