@@ -219,3 +219,43 @@ def test_quantizer_tool(model_file, tmp_path):
     assert main([model_file, str(tmp_path / "q8.bin"), "q8_0"]) == 0
     assert main(["x"]) == 3
     assert main([model_file, "y", "zzz"]) == 3
+
+
+# ---------------------------------------------------------------------- lsp
+
+def test_lsp_protocol(jfk_like_audio):
+    import base64
+    import io as _io
+    import json as _json
+    from whisper_tpu.serving.lsp import LspServer
+    ctx = wt.WhisperContext.random(hp=tiny_test_hparams(),
+                                   params=ContextParams(dtype="float32"))
+    srv = LspServer(ctx)
+    pcm = (np.clip(jfk_like_audio[:16000], -1, 1) * 32767).astype("<i2")
+    b64 = base64.b64encode(pcm.tobytes()).decode()
+
+    reqs = [
+        {"jsonrpc": "2.0", "id": 1, "method": "echo", "params": {"x": 1}},
+        {"jsonrpc": "2.0", "id": 2, "method": "registerCommandset",
+         "params": {"commands": ["lights on", "lights off"]}},
+        {"jsonrpc": "2.0", "id": 3, "method": "unguided",
+         "params": {"pcm_base64": b64}},
+        {"jsonrpc": "2.0", "id": 4, "method": "guided",
+         "params": {"pcm_base64": b64, "commandset_index": 0}},
+        {"jsonrpc": "2.0", "id": 5, "method": "nope", "params": {}},
+    ]
+    fin = _io.StringIO("\n".join(_json.dumps(r) for r in reqs))
+    fout = _io.StringIO()
+    srv.serve_stdio(fin, fout)
+    lines = [_json.loads(l) for l in fout.getvalue().splitlines()]
+    assert lines[0]["result"] == {"x": 1}
+    assert lines[1]["result"] == {"index": 0}
+    assert "transcription" in lines[2]["result"]
+    assert lines[3]["result"]["command_index"] in (0, 1)
+    assert "error" in lines[4]
+
+    # malformed json -> parse error response, loop continues
+    fin2 = _io.StringIO("not json\n")
+    fout2 = _io.StringIO()
+    srv.serve_stdio(fin2, fout2)
+    assert _json.loads(fout2.getvalue())["error"]["code"] == -32700
