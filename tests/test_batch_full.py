@@ -122,3 +122,15 @@ def test_distributed_helpers_single_process():
     assert info["process_count"] == 1
     assert distributed.local_batch_slice(8) == slice(0, 8)
     assert distributed.host_count() == 1
+
+
+def test_batch_token_timestamps(ctx, audios):
+    p = _decisive_p()
+    p.no_timestamps = False        # heuristic needs timestamp tokens
+    p.max_tokens = 0
+    p.token_timestamps = True
+    res = ctx.full_batch(p, audios[:2])
+    stamped = [td for segs in res for s in segs for td in s.tokens]
+    assert stamped
+    for td in stamped:
+        assert td.t1 >= td.t0 >= 0 or td.id >= ctx.token_beg()

@@ -19,6 +19,23 @@ Layering (mirrors SURVEY.md §1, re-designed TPU-first):
 
 __version__ = "0.1.0"
 
+# Persistent XLA compilation cache: first compile of each (program, shape)
+# is 20-40 s on TPU; subsequent processes reuse it (reference analogue:
+# whisper.cpp pre-measures worst-case graphs once per state,
+# src/whisper.cpp:3488-3558). Opt out with WHISPER_TPU_NO_COMPILE_CACHE=1.
+import os as _os
+
+if not _os.environ.get("WHISPER_TPU_NO_COMPILE_CACHE"):
+    import jax as _jax
+
+    _cache_dir = _os.environ.get(
+        "WHISPER_TPU_COMPILE_CACHE", _os.path.expanduser("~/.cache/whisper_tpu_xla"))
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 # Version of the reference behavior surface this framework reproduces
 # (whisper-rs v0.14.3 over vendored whisper.cpp; /root/reference/Cargo.toml:9-14).
 REFERENCE_VERSION = "whisper-rs 0.14.3 / whisper.cpp 1.7"

@@ -16,7 +16,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import time
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +28,7 @@ from whisper_tpu.checkpoint import init as init_mod
 from whisper_tpu.checkpoint import loader as loader_mod
 from whisper_tpu.config import ContextParams, FullParams, WhisperHParams
 from whisper_tpu.models import whisper as model_mod
-from whisper_tpu.tokenizer import Tokenizer, WhisperVocab
+from whisper_tpu.tokenizer import Tokenizer
 from whisper_tpu.utils.timings import Timings
 
 

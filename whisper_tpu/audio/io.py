@@ -7,7 +7,6 @@ and the examples' strict WAV handling (examples/full_usage/src/main.rs:7-27):
 
 from __future__ import annotations
 
-import struct
 import wave
 from typing import Tuple
 

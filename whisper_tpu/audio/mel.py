@@ -25,7 +25,7 @@ the 201->n_mel projection as a matmul that XLA fuses with the log/clamp.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ ftype = qnt_version * 1000 + ggml_ftype (reference src/whisper.cpp:1566-1568).
 from __future__ import annotations
 
 import dataclasses
-import io
 import struct
 from typing import Dict, List, Optional, Tuple
 

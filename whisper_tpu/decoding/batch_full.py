@@ -17,15 +17,15 @@ rows that need it, masked.
 from __future__ import annotations
 
 import time
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from whisper_tpu import languages
-from whisper_tpu.api import Segment, TokenData, WhisperState
-from whisper_tpu.config import CHUNK_SIZE, FullParams, SamplingStrategy
+from whisper_tpu.api import Segment, TokenData
+from whisper_tpu.config import CHUNK_SIZE, FullParams
 from whisper_tpu.decoding import batch_loop, device_loop, filters, scoring
 from whisper_tpu.decoding import segments as seg_mod
 from whisper_tpu.models.whisper import KVCache
@@ -64,6 +64,10 @@ def run_full_batch(
     states = [ctx.create_state() for _ in range(B)]
     for st, audio in zip(states, audios):
         st.pcm_to_mel(np.asarray(audio, np.float32))
+        if params.token_timestamps:
+            from whisper_tpu.decoding.timestamps import get_signal_energy
+            st.t_beg = st.t_last = st.tid_last = 0
+            st.energy = get_signal_energy(np.asarray(audio, np.float32), 32)
     seek = np.array([params.offset_ms // 10] * B, np.int32)
     seek_end = np.array([st.n_len_org for st in states], np.int32)
     prompt_past: List[List[int]] = [[] for _ in range(B)]
@@ -181,6 +185,19 @@ def run_full_batch(
             if tokens_cur and not is_no_speech:
                 segs = seg_mod.emit_segments(
                     tokens_cur, int(seek[b]), sd, vocab, ctx.tokenizer, params, nsp)
+                if params.token_timestamps and segs:
+                    from whisper_tpu.decoding.timestamps import (
+                        compute_token_level_timestamps)
+                    wrapped = []
+                    for s in segs:
+                        compute_token_level_timestamps(
+                            states[b], s, params.thold_pt, params.thold_ptsum)
+                        if params.max_len > 0:
+                            wrapped.extend(seg_mod.wrap_segment(
+                                s, vocab, params.max_len, params.split_on_word))
+                        else:
+                            wrapped.append(s)
+                    segs = wrapped
                 results[b].extend(segs)
 
             if (result_len > 1

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from whisper_tpu.config import CHUNK_SIZE, WhisperHParams
-from whisper_tpu.decoding.device_loop import DELTA_MIN, GREEDY_BEST, SAMPLE, NEG_INF
+from whisper_tpu.decoding.device_loop import DELTA_MIN, SAMPLE, NEG_INF
 from whisper_tpu.decoding.filters import FilterConsts, TokenIds, apply_filters, timestamp_stats
 from whisper_tpu.models import whisper as model_mod
 from whisper_tpu.models.whisper import KVCache

@@ -28,7 +28,6 @@ NEG_INF so the subsequent softmax matches the C code's -INFINITY handling.
 
 from __future__ import annotations
 
-import dataclasses
 import re
 from typing import NamedTuple, Optional
 

@@ -18,7 +18,7 @@ positions replacing the reference's raw element pointers.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 END = 0
 ALT = 1

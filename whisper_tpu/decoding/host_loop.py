@@ -15,7 +15,7 @@ Structure follows reference whisper_full_with_state's inner loop
 from __future__ import annotations
 
 import functools
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +26,6 @@ from whisper_tpu.decoding import filters as filters_mod
 from whisper_tpu.decoding.device_loop import (
     BEAM,
     DELTA_MIN,
-    GREEDY_BEST,
     SAMPLE,
     WindowResult,
 )

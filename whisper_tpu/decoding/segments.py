@@ -6,7 +6,7 @@ and whisper_wrap_segment (:6030-6100).
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 from whisper_tpu.api import Segment, TokenData
 from whisper_tpu.config import FullParams

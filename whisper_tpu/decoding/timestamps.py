@@ -14,8 +14,6 @@ worth a kernel.
 
 from __future__ import annotations
 
-from typing import List
-
 import numpy as np
 
 from whisper_tpu.config import SAMPLE_RATE

@@ -20,7 +20,7 @@ import os
 import sys
 from typing import Dict, List
 
-from whisper_tpu.eval.wer import EnglishTextNormalizer, wer
+from whisper_tpu.eval.wer import wer
 
 
 def load_references(root: str) -> Dict[str, str]:

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import re
 import unicodedata
-from typing import Iterable, List, Sequence, Tuple
+from typing import Iterable, Sequence, Tuple
 
 _CONTRACTIONS = {
     "won't": "will not", "can't": "can not", "let's": "let us",

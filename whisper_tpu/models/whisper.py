@@ -19,7 +19,6 @@ weights from checkpoint/loader.py with W as [in, out].
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax

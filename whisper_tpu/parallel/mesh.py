@@ -18,7 +18,7 @@ through the computation and places collectives on ICI.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import numpy as np

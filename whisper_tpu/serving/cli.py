@@ -7,7 +7,6 @@ Usage:  python -m whisper_tpu.serving.cli -m model.bin -f audio.wav -otxt
 from __future__ import annotations
 
 import argparse
-import os
 import sys
 from typing import List, Optional
 

@@ -14,8 +14,7 @@ any audio source works (file simulation below, mic upstream).
 from __future__ import annotations
 
 import dataclasses
-import sys
-from typing import Callable, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 

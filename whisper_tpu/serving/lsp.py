@@ -16,7 +16,7 @@ from __future__ import annotations
 import base64
 import json
 import sys
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

@@ -15,15 +15,11 @@ model access like the reference's whisper_mutex (server.cpp:569).
 
 from __future__ import annotations
 
-import io
 import json
 import re
 import threading
-import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Dict, Optional, Tuple
-
-import numpy as np
+from typing import Dict, Optional
 
 from whisper_tpu.api import WhisperContext
 from whisper_tpu.config import ContextParams, FullParams, SamplingStrategy
@@ -138,7 +134,6 @@ def make_handler(server_state: ServerState):
                 fields = _parse_multipart(body, self.headers.get("Content-Type", ""))
                 if "file" not in fields:
                     raise ValueError('missing "file" field')
-                import wave
                 from whisper_tpu.audio.io import read_wav
                 import tempfile, os
                 with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as tf:
