@@ -158,3 +158,35 @@ def test_wts_writer(segs):
     assert "ffmpeg -i in.wav" in out
     assert "drawtext" in out
     assert out.rstrip().endswith("out.mp4")
+
+
+def test_read_audio_data_wav_stereo(tmp_path):
+    """Multi-format reader (reference examples/common-whisper.cpp:42):
+    mono downmix + per-channel streams for --diarize."""
+    import wave
+
+    import numpy as np
+
+    from whisper_tpu.audio.io import read_audio_data
+
+    sr = 16000
+    left = (np.sin(2 * np.pi * 440 * np.arange(sr) / sr) * 0.5)
+    right = (np.sin(2 * np.pi * 220 * np.arange(sr) / sr) * 0.25)
+    inter = np.stack([left, right], axis=1).ravel()
+    pcm16 = (np.clip(inter, -1, 1) * 32767).astype("<i2")
+    path = str(tmp_path / "st.wav")
+    with wave.open(path, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm16.tobytes())
+
+    mono, chans = read_audio_data(path, stereo=True)
+    assert mono.shape == (sr,) and mono.dtype == np.float32
+    assert chans is not None and len(chans) == 2
+    np.testing.assert_allclose(chans[0], left, atol=2e-4)
+    np.testing.assert_allclose(mono, (left + right) / 2, atol=2e-4)
+
+    mono2, chans2 = read_audio_data(path)          # stereo not requested
+    assert chans2 is None
+    np.testing.assert_allclose(mono2, mono)

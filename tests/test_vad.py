@@ -132,3 +132,25 @@ def test_full_with_vad_no_speech(tmp_path, vad_model):
     p.vad_params.threshold = 0.999  # nothing passes
     assert st.full(p, np.zeros(16000, np.float32)) == 0
     assert st.full_n_segments() == 0
+
+
+def test_vad_segments_tool(tmp_path, vad_model, jfk_like_audio, capsys):
+    """Standalone printer (reference examples/vad-speech-segments/speech.cpp)."""
+    from whisper_tpu.audio.io import write_wav
+    from whisper_tpu.serving import vad_segments
+
+    mpath = str(tmp_path / "vad.bin")
+    vad_mod.write_vad_ggml(mpath, vad_model)
+    wpath = str(tmp_path / "a.wav")
+    write_wav(wpath, jfk_like_audio)
+
+    rc = vad_segments.main(["-f", wpath, "-vm", mpath, "-vt", "0.3"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "speech segments:" in out
+    first = out.splitlines()[1]
+    assert first.startswith("Detected ")
+
+    # missing file -> error code 2 (speech.cpp returns 2 on read failure)
+    rc = vad_segments.main(["-f", str(tmp_path / "nope.wav"), "-vm", mpath])
+    assert rc == 2

@@ -107,3 +107,67 @@ def write_wav(path: str, samples: np.ndarray, sr: int = SAMPLE_RATE) -> None:
         w.setsampwidth(2)
         w.setframerate(sr)
         w.writeframes(pcm16.tobytes())
+
+
+def _read_wav_channels(path: str) -> Tuple[np.ndarray, int, int]:
+    """Raw WAV read keeping channels: (samples[N, C] f32, sr, n_channels)."""
+    with wave.open(path, "rb") as w:
+        sr = w.getframerate()
+        n_ch = w.getnchannels()
+        sw = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if sw != 2:
+        mono, sr2 = read_wav(path)
+        return mono[:, None], sr2, 1
+    data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    return data.reshape(-1, n_ch), sr, n_ch
+
+
+def _ffmpeg_decode(path: str, stereo: bool) -> Tuple[np.ndarray, int]:
+    """Decode any container/codec via an ffmpeg subprocess to 16 kHz f32 PCM.
+
+    Plays the role of the reference's miniaudio/stb_vorbis decoders
+    (examples/common-whisper.cpp:42 read_audio_data supports wav/mp3/flac/
+    ogg) and its ffmpeg transcode path (examples/ffmpeg-transcode.cpp).
+    Returns (samples[N, C], n_channels). Raises FileNotFoundError when
+    ffmpeg is absent.
+    """
+    import subprocess
+
+    n_ch = 2 if stereo else 1
+    cmd = ["ffmpeg", "-nostdin", "-v", "error", "-i", path,
+           "-f", "f32le", "-acodec", "pcm_f32le",
+           "-ac", str(n_ch), "-ar", str(SAMPLE_RATE), "pipe:1"]
+    out = subprocess.run(cmd, capture_output=True, check=True)
+    data = np.frombuffer(out.stdout, dtype="<f4").astype(np.float32)
+    return data.reshape(-1, n_ch), n_ch
+
+
+def read_audio_data(path: str, stereo: bool = False):
+    """Read wav/mp3/flac/ogg/... -> (mono f32 @16 kHz, per-channel list or None).
+
+    Mirrors the reference's read_audio_data (examples/common-whisper.cpp:42):
+    returns the mono downmix always, plus per-channel f32 streams when
+    `stereo` is requested (used by the CLI's --diarize). WAV is decoded
+    natively; other formats shell out to ffmpeg when available.
+    """
+    pcmf32s = None
+    if path.lower().endswith(".wav"):
+        try:
+            chans, sr, n_ch = _read_wav_channels(path)
+        except (wave.Error, EOFError) as e:
+            raise ValueError(f"failed to read WAV '{path}': {e}") from e
+        mono = chans.mean(axis=1).astype(np.float32)
+        if sr != SAMPLE_RATE:
+            mono = resample_linear(mono, sr, SAMPLE_RATE)
+            chans = np.stack([resample_linear(chans[:, c], sr, SAMPLE_RATE)
+                              for c in range(n_ch)], axis=1)
+        if stereo and n_ch == 2:
+            pcmf32s = [chans[:, 0].copy(), chans[:, 1].copy()]
+        return mono, pcmf32s
+
+    chans, n_ch = _ffmpeg_decode(path, stereo)
+    mono = chans.mean(axis=1).astype(np.float32)
+    if stereo and n_ch == 2:
+        pcmf32s = [chans[:, 0].copy(), chans[:, 1].copy()]
+    return mono, pcmf32s

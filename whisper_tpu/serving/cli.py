@@ -10,8 +10,6 @@ import argparse
 import sys
 from typing import List, Optional
 
-import numpy as np
-
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
@@ -161,7 +159,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         return 1
 
     from whisper_tpu.api import WhisperContext
-    from whisper_tpu.audio.io import read_wav
+    from whisper_tpu.audio.io import read_audio_data
     from whisper_tpu.serving import writers
 
     cp = _dtw_params(args)
@@ -175,19 +173,10 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     for fname in args.file:
         try:
-            samples, sr = read_wav(fname)
+            samples, pcmf32s = read_audio_data(fname, stereo=args.diarize)
         except Exception as e:
-            print(f"error: failed to read WAV file '{fname}': {e}", file=sys.stderr)
+            print(f"error: failed to read audio file '{fname}': {e}", file=sys.stderr)
             continue
-
-        pcmf32s = None
-        if args.diarize:
-            import wave
-            with wave.open(fname, "rb") as w:
-                if w.getnchannels() == 2 and w.getsampwidth() == 2:
-                    raw = np.frombuffer(w.readframes(w.getnframes()), "<i2")
-                    st = raw.reshape(-1, 2).astype(np.float32) / 32768.0
-                    pcmf32s = [st[:, 0], st[:, 1]]
 
         state = ctx.create_state()
         if state.full(params, samples) != 0:
