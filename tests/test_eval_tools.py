@@ -86,3 +86,20 @@ def test_librispeech_runner_layout(tmp_path, jfk_like_audio):
 
     rc = eval_main(["-m", model_path, "-d", str(tmp_path / "LibriSpeech")])
     assert rc == 0  # prints WER (100% with random weights — that's fine)
+
+
+def test_micro_bench_cpu(capsys):
+    """Roofline micro-bench tool (reference whisper_bench_memcpy /
+    whisper_bench_ggml_mul_mat, include/whisper.h:722-725)."""
+    import json
+
+    from whisper_tpu.tools.micro_bench import main
+
+    assert main(["--mib", "8", "--sizes", "256"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["membw_gbps"] > 0.1
+    # fusion/folding guard: a slope-timed roll chain can't exceed any
+    # plausible memory system by orders of magnitude
+    assert out["membw_gbps"] < 100000.0
+    assert out["mul_mat"]["256"]["bf16_tflops"] > 0
+    assert "q8_tflops" in out["mul_mat"]["256"] or "q8_error" in out["mul_mat"]["256"]

@@ -164,3 +164,29 @@ def test_lang_detect_multilingual(audio):
     lang_id, probs = st.lang_detect()
     assert 0 <= lang_id <= 99
     np.testing.assert_allclose(probs.sum(), 1.0, rtol=1e-4)
+
+
+def test_api_accessor_parity(tiny_ctx):
+    """whisper.h getters added for API-surface parity: token_solm,
+    token_to_str, get_logits, get/reset_timings."""
+    import numpy as np
+
+    ctx = tiny_ctx
+    assert ctx.token_solm() == ctx.vocab.token_solm
+    s = ctx.token_to_str(ctx.token_eot())
+    assert isinstance(s, str)
+
+    st = ctx.create_state()
+    assert st.get_logits() is None
+    audio = np.zeros(16000, np.float32)
+    st.pcm_to_mel(audio)
+    st.encode(0)
+    kv = st.new_kv_cache(1)
+    logits, kv = st.decode([ctx.token_sot()], 0, kv)
+    gl = st.get_logits()
+    assert gl is not None and gl.shape == (1, ctx.n_vocab())
+    np.testing.assert_array_equal(gl[0], np.asarray(logits)[0, -1])
+
+    assert st.get_timings()["decode"]["calls"] >= 1
+    st.reset_timings()
+    assert st.get_timings() == {}

@@ -155,6 +155,11 @@ class WhisperContext:
     def token_translate(self) -> int: return self.vocab.token_translate
     def token_transcribe(self) -> int: return self.vocab.token_transcribe
     def token_lang(self, lang_id: int) -> int: return self.vocab.token_lang(lang_id)
+    def token_solm(self) -> int: return self.vocab.token_solm
+
+    def token_to_str(self, token_id: int) -> str:
+        """reference whisper_token_to_str (src/whisper.cpp:4240-4242)."""
+        return self.tokenizer.decode([int(token_id)])
 
 
 class WhisperState:
@@ -173,6 +178,7 @@ class WhisperState:
         self.lang_id: int = 0
         self.timings = Timings()
         self.no_speech_prob: float = 0.0
+        self._last_logits: Optional[jax.Array] = None
         # jitted fns are cached per (ctx id); jax's jit cache dedups by shape
 
     # ------------------------------------------------------------------ mel
@@ -259,6 +265,7 @@ class WhisperState:
         logits.block_until_ready()
         self.timings.add("decode" if toks.shape[1] == 1 else "prompt",
                          time.perf_counter() - t0)
+        self._last_logits = logits
         return logits, kv
 
     # ---------------------------------------------------------------- full
@@ -372,6 +379,24 @@ class WhisperState:
 
     def print_timings(self) -> str:
         return self.timings.report()
+
+    def get_timings(self):
+        """Phase totals/counts (reference whisper_get_timings,
+        src/whisper.cpp:4261-4279)."""
+        return self.timings.as_dict()
+
+    def reset_timings(self) -> None:
+        """reference whisper_reset_timings (src/whisper.cpp:4298-4312)."""
+        self.timings.reset()
+
+    def get_logits(self) -> Optional[np.ndarray]:
+        """Logits of the most recent decode() call, (B*T, n_vocab) float32
+        (reference whisper_get_logits_from_state, src/whisper.cpp:4150-4156;
+        row layout matches the C API's flat [n_tokens, n_vocab])."""
+        if self._last_logits is None:
+            return None
+        arr = np.asarray(self._last_logits, dtype=np.float32)
+        return arr.reshape(-1, arr.shape[-1])
 
 
 # ---------------------------------------------------------------------------

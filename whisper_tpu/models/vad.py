@@ -468,3 +468,11 @@ def remap_segment_times(segment, mapping: List[Tuple[int, int]]) -> None:
             td.t1 = map_processed_to_original_time(td.t1, mapping)
         if td.t_dtw >= 0:
             td.t_dtw = map_processed_to_original_time(td.t_dtw, mapping)
+
+
+def vad_segments_from_samples(model: VadModel, samples: np.ndarray,
+                              params) -> List[SpeechSegment]:
+    """One-call probs+segment detection (reference
+    whisper_vad_segments_from_samples, src/whisper.cpp:5437-5449)."""
+    probs = detect_speech(model, samples)
+    return segments_from_probs(probs, params, n_window=model.hparams.n_window)
