@@ -103,3 +103,36 @@ def test_micro_bench_cpu(capsys):
     assert out["membw_gbps"] < 100000.0
     assert out["mul_mat"]["256"]["bf16_tflops"] > 0
     assert "q8_tflops" in out["mul_mat"]["256"] or "q8_error" in out["mul_mat"]["256"]
+
+
+def test_earnings21_runner(tmp_path, jfk_like_audio, capsys):
+    """Earnings-21 layout: media/*.wav + transcripts/nlp_references/*.nlp
+    (reference tests/earnings21/eval.py)."""
+    from test_ggml_io import _make_test_tensors
+
+    from whisper_tpu.audio.io import write_wav
+    from whisper_tpu.audio.mel import mel_filterbank
+    from whisper_tpu.checkpoint import ggml_io
+    from whisper_tpu.checkpoint.init import tiny_test_hparams
+    from whisper_tpu.eval import earnings21
+    from whisper_tpu.tokenizer import synthetic_vocab
+
+    root = tmp_path / "earnings21"
+    (root / "media").mkdir(parents=True)
+    (root / "transcripts" / "nlp_references").mkdir(parents=True)
+    write_wav(str(root / "media" / "call1.wav"), jfk_like_audio[:32000])
+    (root / "transcripts" / "nlp_references" / "call1.nlp").write_text(
+        "token|speaker|ts\nhello|a|0\nworld|a|1\n")
+
+    assert earnings21.load_nlp_reference(
+        str(root / "transcripts" / "nlp_references" / "call1.nlp")) == "hello world"
+
+    hp = tiny_test_hparams()
+    path = str(tmp_path / "m.bin")
+    ggml_io.write_ggml(path, hp, mel_filterbank(80),
+                       synthetic_vocab(hp.n_vocab).id_to_token[:50256],
+                       _make_test_tensors(hp))
+    rc = earnings21.main(["-m", path, "-d", str(root)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.startswith("WER:") and "(1 files)" in out

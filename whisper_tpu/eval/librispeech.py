@@ -7,9 +7,9 @@ references with the English normalizer, print corpus WER.
 Usage:
   python -m whisper_tpu.eval.librispeech -m ggml-tiny.bin -d LibriSpeech/test-clean
 
-Audio: LibriSpeech ships .flac; this environment has no flac decoder baked
-in, so .wav siblings are used when present (convert offline with ffmpeg) —
-the reference's eval.mk shells out to convert too.
+Audio: LibriSpeech ships .flac; .wav siblings are preferred when present,
+otherwise flac decodes through read_audio_data's ffmpeg path (the
+reference's eval.mk shells out to convert too).
 """
 
 from __future__ import annotations
@@ -51,7 +51,7 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     from whisper_tpu.api import WhisperContext
-    from whisper_tpu.audio.io import read_wav
+    from whisper_tpu.audio.io import read_audio_data
     from whisper_tpu.config import FullParams, SamplingStrategy
 
     refs = load_references(args.dataset)
@@ -74,10 +74,11 @@ def main(argv=None) -> int:
         code = os.path.splitext(os.path.basename(path))[0]
         if code not in refs:
             continue
-        if path.endswith(".flac"):
-            print(f"skipping {path} (no wav sibling)", file=sys.stderr)
+        try:
+            samples, _ = read_audio_data(path)   # .flac decodes via ffmpeg
+        except FileNotFoundError:
+            print(f"skipping {path} (no ffmpeg for flac)", file=sys.stderr)
             continue
-        samples, _ = read_wav(path)
         st = ctx.create_state()
         st.full(p, samples)
         text = st.full_get_all_text()
