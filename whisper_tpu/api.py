@@ -254,10 +254,12 @@ class WhisperState:
         if toks.ndim == 1:
             toks = np.broadcast_to(toks, (batch, toks.shape[0]))
         ck, cv = self.cross_k, self.cross_v
-        if ck.shape[1] != toks.shape[0]:
-            # broadcast cross-kv over decode batch
-            ck = jnp.broadcast_to(ck, ck.shape[:1] + (toks.shape[0],) + ck.shape[2:])
-            cv = jnp.broadcast_to(cv, cv.shape[:1] + (toks.shape[0],) + cv.shape[2:])
+        # batch-1 encoder K/V is shared across the decode batch inside
+        # decoder_forward (no broadcast materialization)
+        if ck.shape[1] not in (1, toks.shape[0]):
+            raise ValueError(
+                f"cross-KV batch {ck.shape[1]} incompatible with decode "
+                f"batch {toks.shape[0]}")
         t0 = time.perf_counter()
         logits, kv = _decode_jit(
             ctx.params, ctx.hparams, jnp.asarray(toks), jnp.asarray(pos0, jnp.int32),

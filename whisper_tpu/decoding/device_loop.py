@@ -132,8 +132,9 @@ def decode_window(
     )
     logits0 = jnp.broadcast_to(last_row, (B, V)).astype(jnp.float32)
 
-    ck = jnp.broadcast_to(cross_k, cross_k.shape[:1] + (B,) + cross_k.shape[2:])
-    cv = jnp.broadcast_to(cross_v, cross_v.shape[:1] + (B,) + cross_v.shape[2:])
+    # encoder K/V stays at batch 1 — decoder_forward contracts all B
+    # decoders against the shared copy (no B-fold HBM duplication)
+    ck, cv = cross_k, cross_v
 
     state = _LoopState(
         i=jnp.int32(0),

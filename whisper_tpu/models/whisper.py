@@ -211,8 +211,8 @@ def decoder_forward(
     tokens: jax.Array,         # (B, T) int32
     pos0: jax.Array,           # scalar int32 — first position of this chunk
     kv: KVCache,
-    cross_k: jax.Array,        # (L, B, H, Ta, Dh)
-    cross_v: jax.Array,
+    cross_k: jax.Array,        # (L, B, H, Ta, Dh); batch may be 1 when the
+    cross_v: jax.Array,        # encoder K/V is shared across all B decoders
     dtype=jnp.bfloat16,
     collect_cross_qk: bool = False,
 ) -> Tuple[jax.Array, KVCache, Optional[jax.Array]]:
@@ -276,11 +276,28 @@ def decoder_forward(
         h = layer_norm(x, blk["cross_ln"], hp.eps)
         qc = _split_heads(linear(h, blk["cross_q"]), H)
         scale = qc.shape[-1] ** -0.5
-        cross_logits = jnp.einsum("bhqd,bhkd->bhqk", qc, ck,
-                                  preferred_element_type=jnp.float32) * scale
-        cross_probs = jax.nn.softmax(cross_logits, axis=-1)
-        oc = jnp.einsum("bhqk,bhkd->bhqd", cross_probs.astype(cv.dtype), cv,
-                        preferred_element_type=jnp.float32).astype(cv.dtype)
+        if ck.shape[0] == 1 and B > 1:
+            # shared encoder K/V across all decoders (beam/best-of fan-out):
+            # fold the decoder batch into the query-length axis and contract
+            # against the single K/V copy — broadcasting it B-fold would cost
+            # GBs of HBM per window for beam-5 large-v3 (L×B×H×1500×Dh)
+            ta = ck.shape[2]
+            qh = qc.transpose(1, 0, 2, 3).reshape(H, B * T, -1)   # (H, B*T, Dh)
+            cross_logits = jnp.einsum(
+                "hqd,hkd->hqk", qh, ck[0],
+                preferred_element_type=jnp.float32) * scale       # (H, B*T, Ta)
+            cross_probs = jax.nn.softmax(cross_logits, axis=-1)
+            oc = jnp.einsum("hqk,hkd->hqd", cross_probs.astype(cv.dtype), cv[0],
+                            preferred_element_type=jnp.float32).astype(cv.dtype)
+            oc = oc.reshape(H, B, T, -1).transpose(1, 0, 2, 3)    # (B, H, T, Dh)
+            cross_probs = (cross_probs.reshape(H, B, T, ta)
+                           .transpose(1, 0, 2, 3))                # (B, H, T, Ta)
+        else:
+            cross_logits = jnp.einsum("bhqd,bhkd->bhqk", qc, ck,
+                                      preferred_element_type=jnp.float32) * scale
+            cross_probs = jax.nn.softmax(cross_logits, axis=-1)
+            oc = jnp.einsum("bhqk,bhkd->bhqd", cross_probs.astype(cv.dtype), cv,
+                            preferred_element_type=jnp.float32).astype(cv.dtype)
         x = x + linear(_merge_heads(oc), blk["cross_out"])
 
         # --- MLP
