@@ -2,6 +2,8 @@
 src/whisper.cpp:6795-7711; test character mirrors the reference's
 stub-model ctest suite, tests/CMakeLists.txt:18-91)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -190,3 +192,27 @@ def test_api_accessor_parity(tiny_ctx):
     assert st.get_timings()["decode"]["calls"] >= 1
     st.reset_timings()
     assert st.get_timings() == {}
+
+
+def test_context_warmup(tiny_ctx):
+    """ctx.warmup pre-populates the jit caches (reference
+    whisper_init_state worst-case graph prealloc, src/whisper.cpp:3488-3558)
+    without touching caller-visible state."""
+    from whisper_tpu.config import FullParams
+
+    tiny_ctx.warmup(FullParams.default())
+    st = tiny_ctx.create_state()
+    assert st.segments == []  # warmup used a throwaway state
+
+
+def test_profiling_trace_noop_and_dir(tmp_path):
+    from whisper_tpu.utils.profiling import annotate, trace
+
+    with trace(None):        # no-op path
+        pass
+    d = str(tmp_path / "prof")
+    with trace(d):
+        import jax.numpy as jnp
+        with annotate("warm"):
+            (jnp.ones(8) + 1).block_until_ready()
+    assert os.path.isdir(d) and os.listdir(d)

@@ -154,3 +154,39 @@ def test_vad_segments_tool(tmp_path, vad_model, jfk_like_audio, capsys):
     # missing file -> error code 2 (speech.cpp returns 2 on read failure)
     rc = vad_segments.main(["-f", str(tmp_path / "nope.wav"), "-vm", mpath])
     assert rc == 2
+
+
+def test_convert_silero_torch_roundtrip(tmp_path):
+    """torch state dict -> ggml -> read_vad_ggml -> detect_speech
+    (reference models/convert-silero-vad-to-ggml.py)."""
+    torch = pytest.importorskip("torch")
+
+    from whisper_tpu.checkpoint import convert_silero
+
+    ref = vad_mod.random_vad_model(seed=7)
+    # fabricate a silero-style state dict: same tensors, torch-shaped,
+    # WITHOUT the _model. prefix on some keys + an _8k branch to drop
+    sd = {}
+    for k, v in ref.params.items():
+        t = torch.from_numpy(np.asarray(v))
+        if k == "_model.decoder.decoder.2.weight":
+            t = t.reshape(1, 128, 1)
+        sd[k[len("_model."):]] = t          # exercise prefix normalization
+    sd["_model_8k.encoder.0.reparam_conv.weight"] = torch.zeros(1)
+
+    model = convert_silero.convert_silero_state_dict(sd, version="5.1.2")
+    assert model.version == "5.1.2"
+    for k in ref.params:
+        np.testing.assert_allclose(model.params[k].reshape(ref.params[k].shape),
+                                   ref.params[k], rtol=1e-6)
+
+    out = str(tmp_path / "vad-ggml.bin")
+    sd_path = str(tmp_path / "sd.pt")
+    torch.save(sd, sd_path)
+    rc = convert_silero.main(["--output", out, "--state-dict", sd_path])
+    assert rc == 0
+
+    loaded = vad_mod.read_vad_ggml(out)
+    probs = vad_mod.detect_speech(loaded, np.zeros(4096, np.float32))
+    ref_probs = vad_mod.detect_speech(ref, np.zeros(4096, np.float32))
+    np.testing.assert_allclose(probs, ref_probs, atol=1e-5)

@@ -121,6 +121,20 @@ class WhisperContext:
         """reference whisper_init_state (src/whisper.cpp:3390-3561)."""
         return WhisperState(self)
 
+    def warmup(self, params: Optional[FullParams] = None) -> None:
+        """Pre-compile the mel/encoder/cross/decode-window programs so the
+        first real request pays no compile latency — the XLA analogue of
+        whisper_init_state's worst-case graph pre-reservation
+        (src/whisper.cpp:3488-3558). Runs a throwaway full() on 30 s of
+        silence with the given decode params (jit caches are shared
+        module-wide, keyed by shapes + static config)."""
+        p = dataclasses.replace(params) if params is not None else FullParams.default()
+        p.print_progress = False
+        p.progress_callback = None
+        p.new_segment_callback = None
+        st = self.create_state()
+        st.full(p, np.zeros(30 * cfg.SAMPLE_RATE, np.float32))
+
     def full_batch(self, params: FullParams, audios, mesh=None):
         """Transcribe many utterances concurrently (continuous batching —
         the TPU-native replacement for whisper_full_parallel's threads;

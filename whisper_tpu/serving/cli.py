@@ -68,6 +68,11 @@ def build_parser() -> argparse.ArgumentParser:
     a("--suppress-regex", default=None)
     a("--grammar", default=None, help="GBNF grammar to guide decoding")
     a("--grammar-rule", default="root")
+    a("--profile-dir", default=None,
+      help="capture a jax.profiler trace (XProf/TensorBoard) into this dir")
+    a("--warmup", action="store_true",
+      help="pre-compile all programs before the first file (timings then "
+           "exclude XLA compile latency)")
     a("--grammar-penalty", type=float, default=100.0)
     # VAD
     a("--vad", action="store_true")
@@ -171,6 +176,15 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     params = params_from_args(args)
 
+    if args.warmup:
+        ctx.warmup(params)
+
+    import contextlib
+
+    from whisper_tpu.utils.profiling import trace as profiler_trace
+    stack = contextlib.ExitStack()
+    stack.enter_context(profiler_trace(args.profile_dir))
+
     for fname in args.file:
         try:
             samples, pcmf32s = read_audio_data(fname, stereo=args.diarize)
@@ -227,6 +241,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         if not args.no_prints:
             print(state.print_timings(), file=sys.stderr)
 
+    stack.close()
     return 0
 
 
