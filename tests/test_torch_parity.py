@@ -118,3 +118,42 @@ def test_incremental_decode_matches_torch(hf_and_ours):
         outs.append(np.asarray(lg[:, 0]))
     got = np.stack(outs, axis=1)
     np.testing.assert_allclose(got, want, rtol=3e-3, atol=3e-3)
+
+
+def test_export_pt_roundtrip(hf_and_ours, tmp_path):
+    """HF -> ggml -> export_pt must reproduce the original state dict
+    (reference models/ggml_to_pt.py, inverse of convert-h5-to-ggml)."""
+    from transformers import WhisperConfig, WhisperForConditionalGeneration
+
+    from whisper_tpu.checkpoint import export_pt
+
+    hf, ours = hf_and_ours
+    # rebuild the .bin from the fixture's hf model
+    path = str(tmp_path / "m.bin")
+    convert_hf.convert_hf_to_ggml(hf, path, ftype=1)
+
+    sd_np, hp = export_pt.export_hf_state_dict(path)
+    assert hp.n_audio_layer == 2
+    orig = hf.state_dict()
+    assert set(sd_np) <= set(orig)
+    checked = 0
+    for name, arr in sd_np.items():
+        ref = orig[name].detach().numpy()
+        assert arr.shape == ref.shape, name
+        np.testing.assert_allclose(arr, ref, atol=2e-3, rtol=1e-2,
+                                   err_msg=name)   # f16 quantization
+        checked += 1
+    assert checked > 30
+
+    # the exported dict loads back into a fresh HF model
+    model2 = WhisperForConditionalGeneration(WhisperConfig(**hf.config.to_dict())).eval()
+    sd_t = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd_np.items()}
+    missing, unexpected = model2.load_state_dict(sd_t, strict=False)
+    assert not unexpected
+    assert all("proj_out" in m or "embed_positions" not in m for m in missing)
+
+    # CLI writer
+    rc = export_pt.main([path, str(tmp_path / "out")])
+    assert rc == 0
+    blob = torch.load(str(tmp_path / "out" / "torch-model.pt"), weights_only=False)
+    assert "state_dict" in blob and blob["dims"]["n_text_layer"] == 2
