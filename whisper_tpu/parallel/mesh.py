@@ -34,45 +34,48 @@ def make_mesh(n_data: int = 1, n_model: int = 1, devices=None) -> Mesh:
     return Mesh(dev, ("data", "model"))
 
 
-def _block_specs(tp: bool) -> Dict[str, Any]:
-    """PartitionSpecs for one stacked transformer block dict.
-    Leading axis is the layer stack (never sharded)."""
+# linear roles: True = output-feature (head) sharded, False = input sharded
+_BLOCK_ROLES = {
+    "attn_q": True, "attn_k": True, "attn_v": True, "attn_out": False,
+    "mlp_0": True, "mlp_2": False,
+    "cross_q": True, "cross_k": True, "cross_v": True, "cross_out": False,
+}
+_LN_SPEC = {"scale": P(None, None), "bias": P(None, None)}
+
+
+def _lin_spec(leaf: Dict[str, Any], out_sharded: bool, m) -> Dict[str, Any]:
+    """Specs for one (stacked) linear leaf dict. Handles both the bf16
+    layout {w:(L,in,out), b:(L,out)} and the keep-quantized layout
+    {q:(L,in,out) int8, d:(L,in/32,out) f32}: q/d shard exactly like w —
+    the 32-block scale axis follows the `in` axis."""
+    wspec = P(None, None, m) if out_sharded else P(None, m, None)
+    spec: Dict[str, Any] = {}
+    for k in leaf:
+        if k in ("w", "q", "d"):
+            spec[k] = wspec
+        elif k == "b":
+            spec[k] = P(None, m) if out_sharded else P(None, None)
+    return spec
+
+
+def _blocks_specs(blocks: Dict[str, Any], tp: bool) -> Dict[str, Any]:
     m = "model" if tp else None
-
-    def lin(out_sharded: bool):
-        # w: (L, in, out); b: (L, out)
-        if out_sharded:
-            return {"w": P(None, None, m), "b": P(None, m)}
-        return {"w": P(None, m, None), "b": P(None, None)}
-
-    def lin_nobias(out_sharded: bool):
-        return {"w": P(None, None, m) if out_sharded else P(None, m, None)}
-
-    ln = {"scale": P(None, None), "bias": P(None, None)}
-    return {
-        "attn_ln": ln,
-        "attn_q": lin(True),
-        "attn_k": lin_nobias(True),
-        "attn_v": lin(True),
-        "attn_out": lin(False),
-        "mlp_ln": ln,
-        "mlp_0": lin(True),
-        "mlp_2": lin(False),
-    }
+    out: Dict[str, Any] = {}
+    for name, leaf in blocks.items():
+        if name.endswith("_ln"):
+            out[name] = _LN_SPEC
+        else:
+            out[name] = _lin_spec(leaf, _BLOCK_ROLES[name], m)
+    return out
 
 
 def param_specs(params: Dict[str, Any], tp: bool = True) -> Dict[str, Any]:
-    """PartitionSpec pytree matching checkpoint/loader.py's layout."""
+    """PartitionSpec pytree matching checkpoint/loader.py's layout
+    (built from the actual params so bf16 and keep-quantized layouts both
+    shard correctly)."""
     m = "model" if tp else None
-    enc_blocks = _block_specs(tp)
-    dec_blocks = dict(_block_specs(tp))
-    dec_blocks.update({
-        "cross_ln": {"scale": P(None, None), "bias": P(None, None)},
-        "cross_q": {"w": P(None, None, m), "b": P(None, m)},
-        "cross_k": {"w": P(None, None, m)},
-        "cross_v": {"w": P(None, None, m), "b": P(None, m)},
-        "cross_out": {"w": P(None, m, None), "b": P(None, None)},
-    })
+    enc_blocks = _blocks_specs(params["encoder"]["blocks"], tp)
+    dec_blocks = _blocks_specs(params["decoder"]["blocks"], tp)
     return {
         "encoder": {
             "pos_embed": P(None, None),
