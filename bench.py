@@ -128,14 +128,18 @@ def main():
     padded0 = jnp.asarray(mel_mod.pad_audio(audio))
     n_len, _ = mel_mod.frame_counts(audio.shape[0])
 
+    cos_b, sin_b = (jnp.asarray(b) for b in mel_mod.dft_basis())
+
     def make_mel(n):
         def f(padded):
             for _ in range(n):
                 idx = (jnp.arange(n_len)[:, None] * HOP_LENGTH
                        + jnp.arange(N_FFT)[None, :])
                 frames = padded[idx] * window[None, :]
-                spec = jnp.fft.rfft(frames, n=N_FFT, axis=-1)
-                power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+                # matmul-DFT — the shipped TPU path (audio/mel.py dft_basis)
+                re = jnp.dot(frames, cos_b, preferred_element_type=jnp.float32)
+                im = jnp.dot(frames, sin_b, preferred_element_type=jnp.float32)
+                power = re * re + im * im
                 out = jnp.log10(jnp.maximum(power @ filters.T, 1e-10))
                 padded = padded + jnp.max(out) * 1e-12   # chain dependency
             return padded

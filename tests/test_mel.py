@@ -70,3 +70,29 @@ def test_zero_audio_gives_constant():
     m = np.asarray(m)
     # log10(1e-10) everywhere -> clamp makes all equal
     assert np.allclose(m, m[0, 0])
+
+
+def test_dft_matmul_matches_rfft(jfk_like_audio):
+    """The TPU matmul-DFT path and the rFFT path are numerically
+    interchangeable (same program, different spectral kernel)."""
+    import jax.numpy as jnp
+
+    fb = mel_mod.mel_filterbank(80)
+    x = jfk_like_audio[: 16000 * 2]
+    n_len, _ = mel_mod.frame_counts(x.shape[0])
+    padded = jnp.asarray(mel_mod.pad_audio(x))
+    w = jnp.asarray(mel_mod.hann_window())
+    f = jnp.asarray(fb)
+    a = np.asarray(mel_mod._log_mel_jit(padded, w, f, n_len, use_dft_matmul=False))
+    b = np.asarray(mel_mod._log_mel_jit(padded, w, f, n_len, use_dft_matmul=True))
+    assert np.abs(a - b).max() < 2e-4
+
+
+def test_dft_basis_exact():
+    """Basis matmul reproduces np.fft.rfft on a random frame."""
+    rng = np.random.default_rng(0)
+    fr = rng.standard_normal(400)
+    cos_b, sin_b = mel_mod.dft_basis()
+    spec = np.fft.rfft(fr)
+    np.testing.assert_allclose(fr @ cos_b.astype(np.float64), spec.real, atol=2e-6)
+    np.testing.assert_allclose(fr @ sin_b.astype(np.float64), spec.imag, atol=2e-6)

@@ -41,6 +41,18 @@ from whisper_tpu.config import (
 N_FFT_BINS = N_FFT // 2 + 1  # 201
 
 
+@functools.lru_cache(maxsize=1)
+def dft_basis() -> Tuple[np.ndarray, np.ndarray]:
+    """Real-DFT basis (cos, -sin), each (N_FFT, 201) float32: the power
+    spectrum becomes two MXU matmuls — the Silero-STFT-as-conv trick
+    (reference src/whisper.cpp:4500-4520) applied to the whisper frontend.
+    jnp.fft lowers poorly on TPU; a 400x201 matmul is ~1 MXU pass."""
+    k = np.arange(N_FFT_BINS, dtype=np.float64)[None, :]
+    n = np.arange(N_FFT, dtype=np.float64)[:, None]
+    ang = 2.0 * np.pi * k * n / N_FFT
+    return (np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32))
+
+
 def hann_window(n: int = N_FFT) -> np.ndarray:
     """Periodic Hann (reference fill_hann_window with periodic=true)."""
     i = np.arange(n, dtype=np.float64)
@@ -106,20 +118,30 @@ def frame_counts(n_samples: int) -> Tuple[int, int]:
     return n_len, n_len_org
 
 
-@functools.partial(jax.jit, static_argnames=("n_len",))
+@functools.partial(jax.jit, static_argnames=("n_len", "use_dft_matmul"))
 def _log_mel_jit(
     padded: jax.Array,       # (n_padded,) float32
     window: jax.Array,       # (400,)
     filters: jax.Array,      # (n_mel, 201)
     n_len: int,
+    use_dft_matmul: bool = False,
 ) -> jax.Array:
     # frame: (n_len, 400) — as_strided-style gather; XLA turns this into
     # efficient dynamic slices
     idx = jnp.arange(n_len)[:, None] * HOP_LENGTH + jnp.arange(N_FFT)[None, :]
     frames = padded[idx] * window[None, :]
 
-    spec = jnp.fft.rfft(frames, n=N_FFT, axis=-1)
-    power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2   # (n_len, 201)
+    if use_dft_matmul:
+        # TPU path: DFT as two f32 matmuls on the MXU (dft_basis docstring)
+        cos_b, sin_b = dft_basis()
+        re = jnp.dot(frames, jnp.asarray(cos_b),
+                     preferred_element_type=jnp.float32)
+        im = jnp.dot(frames, jnp.asarray(sin_b),
+                     preferred_element_type=jnp.float32)
+        power = re * re + im * im                        # (n_len, 201)
+    else:
+        spec = jnp.fft.rfft(frames, n=N_FFT, axis=-1)
+        power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
 
     mel = power @ filters.T                              # (n_len, n_mel)
     logmel = jnp.log10(jnp.maximum(mel, 1e-10))
@@ -142,7 +164,10 @@ def log_mel_spectrogram(
     n_len, n_len_org = frame_counts(samples.shape[-1])
     padded = pad_audio(samples)
     mel = _log_mel_jit(
-        jnp.asarray(padded), jnp.asarray(hann_window()), jnp.asarray(filters), n_len
+        jnp.asarray(padded), jnp.asarray(hann_window()), jnp.asarray(filters),
+        n_len,
+        # TPU: matmul-DFT rides the MXU; elsewhere the rFFT is faster
+        use_dft_matmul=jax.default_backend() == "tpu",
     )
     return mel, n_len, n_len_org
 
