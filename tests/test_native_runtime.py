@@ -102,3 +102,60 @@ def test_dequant_speed_advantage():
     t_np = time.perf_counter() - t0
     # don't be flaky: just require native isn't drastically slower
     assert t_nat < t_np * 2.0, (t_nat, t_np)
+
+
+def test_grammar_native_matches_python(monkeypatch):
+    """Native GBNF engine (runtime.cpp wtpu_grammar_rejects/_accept) must
+    agree with the Python machine on rejects and post-accept stacks."""
+    import numpy as np
+    import pytest
+
+    from whisper_tpu.decoding import grammar as gmod
+    from whisper_tpu.runtime import native
+    from whisper_tpu.tokenizer import synthetic_vocab
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+
+    g_text = r'''
+root ::= item (", " item)*
+item ::= "yes" | "no" | num | uni
+num ::= [0-9]+
+uni ::= "é" [a-z]*
+'''
+    vocab = synthetic_vocab(51865)
+    parsed = gmod.parse_gbnf(g_text)
+
+    g_native = parsed.instance()
+    g_py = parsed.instance()
+
+    # force the Python fallback on the oracle instance
+    monkeypatch.setattr(native, "grammar_rejects", lambda *a, **k: None)
+    monkeypatch.setattr(native, "grammar_accept", lambda *a, **k: None)
+    rej_py = set(g_py.rejected_tokens(vocab))
+    monkeypatch.undo()
+    rej_nat = set(g_native.rejected_tokens(vocab))
+    assert rej_nat == rej_py
+    assert len(rej_nat) > 0
+
+    # accept a few grammar-legal tokens and re-compare after each
+    for _ in range(4):
+        legal = [t for t in range(vocab.token_eot)
+                 if t not in rej_nat and vocab.id_to_token[t]]
+        if not legal:
+            break
+        tid = legal[0]
+        g_native.accept_token(vocab, tid)
+        monkeypatch.setattr(native, "grammar_accept", lambda *a, **k: None)
+        g_py.accept_token(vocab, tid)
+        monkeypatch.undo()
+        assert sorted(tuple(s) for s in g_native.stacks) == \
+            sorted(tuple(s) for s in g_py.stacks), tid
+        assert (g_native.partial_utf8.value, g_native.partial_utf8.n_remain) == \
+            (g_py.partial_utf8.value, g_py.partial_utf8.n_remain)
+
+        monkeypatch.setattr(native, "grammar_rejects", lambda *a, **k: None)
+        rej_py = set(g_py.rejected_tokens(vocab))
+        monkeypatch.undo()
+        rej_nat = set(g_native.rejected_tokens(vocab))
+        assert rej_nat == rej_py

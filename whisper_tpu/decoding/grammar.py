@@ -20,6 +20,8 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, List, Tuple
 
+import numpy as np
+
 END = 0
 ALT = 1
 RULE_REF = 2
@@ -238,12 +240,40 @@ class Grammar:
             rejects = self._reject_candidates_for_stack(stack, rejects)
         return rejects
 
+    # -- native acceleration -------------------------------------------------
+    def _rules_flat(self):
+        if not hasattr(self, "_rules_flat_cache"):
+            from whisper_tpu.runtime import native
+            self._rules_flat_cache = native.flatten_rules(self.rules)
+        return self._rules_flat_cache
+
+    @staticmethod
+    def _vocab_flat(vocab):
+        flat = getattr(vocab, "_grammar_vocab_flat", None)
+        if flat is None:
+            from whisper_tpu.runtime import native
+            flat = native.flatten_vocab(vocab.id_to_token[: vocab.token_eot])
+            try:
+                vocab._grammar_vocab_flat = flat
+            except Exception:
+                pass
+        return flat
+
     # -- public API ---------------------------------------------------------
     def rejected_tokens(self, vocab) -> List[int]:
         """Token ids the grammar rejects at the current state
-        (reference whisper_suppress_invalid_grammar :5824-5866)."""
+        (reference whisper_suppress_invalid_grammar :5824-5866).
+        Hot path: ~token_eot candidates against every stack per decode step
+        — runs in the native C++ engine (runtime.cpp wtpu_grammar_rejects)
+        with this Python machine as the fallback/oracle."""
         if not self.rules or not self.stacks:
             return []
+        from whisper_tpu.runtime import native
+        mask = native.grammar_rejects(
+            self._rules_flat(), self.stacks, self._vocab_flat(vocab),
+            self.partial_utf8.value, self.partial_utf8.n_remain)
+        if mask is not None:
+            return np.nonzero(mask)[0].tolist()
         candidates = []
         for tid in range(vocab.token_eot):
             text = vocab.id_to_token[tid]
@@ -258,6 +288,14 @@ class Grammar:
             return
         text = vocab.id_to_token[token_id]
         if text.startswith(b"[_"):
+            return
+        from whisper_tpu.runtime import native
+        res = native.grammar_accept(
+            self._rules_flat(), self.stacks, text,
+            self.partial_utf8.value, self.partial_utf8.n_remain)
+        if res is not None:
+            self.stacks, pv, pr = res
+            self.partial_utf8 = PartialUtf8(pv, pr)
             return
         cps, partial = decode_utf8(text, self.partial_utf8)
         for cp in cps[:-1]:

@@ -227,3 +227,320 @@ void wtpu_signal_energy(const float* x, int64_t n, int hw, float* out) {
 int wtpu_version(void) { return 1; }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// GBNF grammar engine — native twin of decoding/grammar.py (which mirrors
+// the reference's C++ engine, src/whisper.cpp:5484-5890). The hot loop is
+// rejected-token computation: every decode step scans ~50k vocab tokens
+// against the pushdown stacks; Python costs tens of ms per step, this ~1 ms.
+// Rules arrive flattened as (type,value) int32 pairs with per-rule offsets.
+// ---------------------------------------------------------------------------
+
+namespace wtpu_grammar {
+
+enum { G_END = 0, G_ALT = 1, G_RULE_REF = 2, G_CHAR = 3, G_CHAR_NOT = 4,
+       G_CHAR_RNG_UPPER = 5, G_CHAR_ALT = 6 };
+
+struct Engine {
+    const int32_t* elems;   // (type,value) pairs, all rules concatenated
+    const int32_t* offs;    // n_rules+1 offsets (in pairs)
+    inline int32_t type(int32_t r, int32_t i) const { return elems[2 * (offs[r] + i)]; }
+    inline int32_t val(int32_t r, int32_t i) const { return elems[2 * (offs[r] + i) + 1]; }
+};
+
+struct Pos { int32_t r, i; };
+inline bool operator==(const Pos& a, const Pos& b) { return a.r == b.r && a.i == b.i; }
+using Stack = std::vector<Pos>;
+
+static inline bool is_end(const Engine& g, Pos p) {
+    int32_t t = g.type(p.r, p.i);
+    return t == G_END || t == G_ALT;
+}
+
+// (matched, element pos after the char class)  [grammar.py _match_char]
+static bool match_char(const Engine& g, Pos p, uint32_t chr_, Pos* after) {
+    bool found = false;
+    const bool is_positive = g.type(p.r, p.i) == G_CHAR;
+    for (;;) {
+        uint32_t v = (uint32_t)g.val(p.r, p.i);
+        Pos nxt{p.r, p.i + 1};
+        if (g.type(nxt.r, nxt.i) == G_CHAR_RNG_UPPER) {
+            found = found || (v <= chr_ && chr_ <= (uint32_t)g.val(nxt.r, nxt.i));
+            p = Pos{p.r, p.i + 2};
+        } else {
+            found = found || v == chr_;
+            p = nxt;
+        }
+        if (g.type(p.r, p.i) != G_CHAR_ALT) break;
+    }
+    *after = p;
+    return found == is_positive;
+}
+
+// [grammar.py _match_partial_char]
+static bool match_partial_char(const Engine& g, Pos p, int32_t pv, int32_t pr) {
+    const bool is_positive = g.type(p.r, p.i) == G_CHAR;
+    if (pr < 0 || (pr == 1 && pv < 2)) return false;
+    uint64_t low = (uint64_t)pv << (pr * 6);
+    uint64_t high = low | ((1ull << (pr * 6)) - 1);
+    if (low == 0) {
+        if (pr == 2) low = 1u << 11;
+        else if (pr == 3) low = 1u << 16;
+    }
+    for (;;) {
+        uint64_t v = (uint64_t)(uint32_t)g.val(p.r, p.i);
+        Pos nxt{p.r, p.i + 1};
+        if (g.type(nxt.r, nxt.i) == G_CHAR_RNG_UPPER) {
+            if (v <= high && low <= (uint64_t)(uint32_t)g.val(nxt.r, nxt.i))
+                return is_positive;
+            p = Pos{p.r, p.i + 2};
+        } else {
+            if (low <= v && v <= high) return is_positive;
+            p = nxt;
+        }
+        if (g.type(p.r, p.i) != G_CHAR_ALT) break;
+    }
+    return !is_positive;
+}
+
+static bool stacks_contain(const std::vector<Stack>& out, const Stack& s) {
+    for (const auto& o : out) {
+        if (o.size() == s.size() && std::equal(o.begin(), o.end(), s.begin()))
+            return true;
+    }
+    return false;
+}
+
+// [grammar.py _advance_stack]
+static void advance_stack(const Engine& g, const Stack& stack,
+                          std::vector<Stack>& out) {
+    if (stack.empty()) {
+        if (!stacks_contain(out, stack)) out.push_back(stack);
+        return;
+    }
+    Pos p = stack.back();
+    int32_t t = g.type(p.r, p.i);
+    if (t == G_RULE_REF) {
+        Pos sub{g.val(p.r, p.i), 0};
+        for (;;) {
+            Stack ns(stack.begin(), stack.end() - 1);
+            Pos nxt{p.r, p.i + 1};
+            if (!is_end(g, nxt)) ns.push_back(nxt);
+            if (!is_end(g, sub)) ns.push_back(sub);
+            advance_stack(g, ns, out);
+            while (!is_end(g, sub)) sub.i++;
+            if (g.type(sub.r, sub.i) == G_ALT) sub.i++;
+            else break;
+        }
+    } else if (t == G_CHAR || t == G_CHAR_NOT) {
+        if (!stacks_contain(out, stack)) out.push_back(stack);
+    }
+}
+
+// [grammar.py _accept_char]
+static std::vector<Stack> accept_char(const Engine& g,
+                                      const std::vector<Stack>& stacks,
+                                      uint32_t chr_) {
+    std::vector<Stack> out;
+    for (const auto& stack : stacks) {
+        if (stack.empty()) continue;
+        Pos after;
+        if (match_char(g, stack.back(), chr_, &after)) {
+            Stack ns(stack.begin(), stack.end() - 1);
+            if (!is_end(g, after)) ns.push_back(after);
+            advance_stack(g, ns, out);
+        }
+    }
+    return out;
+}
+
+struct Cand {
+    int32_t tid;
+    int32_t off;
+    const uint32_t* cps;   // codepoints incl. trailing 0
+    int32_t pv, pr;        // end-of-token partial utf8
+};
+
+// [grammar.py _reject_candidates_for_stack]
+static void reject_for_stack(const Engine& g, const Stack& stack,
+                             const std::vector<Cand>& candidates,
+                             std::vector<Cand>& rejects) {
+    if (stack.empty()) {
+        for (const auto& c : candidates)
+            if (c.cps[c.off] != 0 || c.pr != 0) rejects.push_back(c);
+        return;
+    }
+    Pos sp = stack.back();
+    std::vector<Cand> next;
+    for (const auto& c : candidates) {
+        Pos after;
+        if (c.cps[c.off] == 0) {
+            if (c.pr != 0 && !match_partial_char(g, sp, c.pv, c.pr))
+                rejects.push_back(c);
+        } else if (match_char(g, sp, c.cps[c.off], &after)) {
+            Cand nc = c; nc.off += 1; next.push_back(nc);
+        } else {
+            rejects.push_back(c);
+        }
+    }
+    Pos after0;
+    match_char(g, sp, 0, &after0);
+    Stack stack_after(stack.begin(), stack.end() - 1);
+    if (!is_end(g, after0)) stack_after.push_back(after0);
+    std::vector<Stack> next_stacks;
+    advance_stack(g, stack_after, next_stacks);
+
+    // recurse: reject_candidates(next_stacks, next)
+    if (!next.empty() && !next_stacks.empty()) {
+        std::vector<Cand> rej;
+        reject_for_stack(g, next_stacks[0], next, rej);
+        for (size_t s = 1; s < next_stacks.size(); s++) {
+            std::vector<Cand> rej2;
+            reject_for_stack(g, next_stacks[s], rej, rej2);
+            rej.swap(rej2);
+        }
+        for (auto c : rej) { c.off -= 1; rejects.push_back(c); }
+    }
+}
+
+static std::vector<Cand> reject_candidates(const Engine& g,
+                                           const std::vector<Stack>& stacks,
+                                           const std::vector<Cand>& candidates) {
+    std::vector<Cand> rej;
+    if (candidates.empty() || stacks.empty()) return rej;
+    reject_for_stack(g, stacks[0], candidates, rej);
+    for (size_t s = 1; s < stacks.size(); s++) {
+        std::vector<Cand> rej2;
+        reject_for_stack(g, stacks[s], rej, rej2);
+        rej.swap(rej2);
+    }
+    return rej;
+}
+
+// [grammar.py decode_utf8] -> codepoints + trailing 0; returns end partial
+static void decode_utf8(const uint8_t* data, int64_t n, int32_t pv, int32_t pr,
+                        std::vector<uint32_t>& cps, int32_t* opv, int32_t* opr) {
+    static const int lookup[16] = {1,1,1,1,1,1,1,1,0,0,0,0,2,2,3,4};
+    int64_t pos = 0;
+    uint32_t value = (uint32_t)pv;
+    int32_t n_remain = pr;
+    cps.clear();
+    while (pos < n && n_remain > 0) {
+        uint8_t b = data[pos];
+        if ((b >> 6) != 2) { cps.assign(1, 0); *opv = 0; *opr = -1; return; }
+        value = (value << 6) + (b & 0x3F);
+        pos++; n_remain--;
+    }
+    if (pr > 0 && n_remain == 0) cps.push_back(value);
+    while (pos < n) {
+        uint8_t first = data[pos];
+        n_remain = lookup[first >> 4] - 1;
+        if (n_remain < 0) { cps.assign(1, 0); *opv = 0; *opr = n_remain; return; }
+        uint32_t mask = (1u << (7 - n_remain)) - 1;
+        value = first & mask;
+        pos++;
+        while (pos < n && n_remain > 0) {
+            value = (value << 6) + (data[pos] & 0x3F);
+            pos++; n_remain--;
+        }
+        if (n_remain == 0) cps.push_back(value);
+    }
+    cps.push_back(0);
+    *opv = (int32_t)value; *opr = n_remain;
+}
+
+static std::vector<Stack> unflatten_stacks(const int32_t* flat,
+                                           const int32_t* offs, int32_t n) {
+    std::vector<Stack> stacks(n);
+    for (int32_t s = 0; s < n; s++) {
+        for (int32_t k = offs[s]; k < offs[s + 1]; k++)
+            stacks[s].push_back(Pos{flat[2 * k], flat[2 * k + 1]});
+    }
+    return stacks;
+}
+
+}  // namespace wtpu_grammar
+
+extern "C" {
+
+// Fill out_mask[tid]=1 for every grammar-rejected token.
+// Returns number rejected, or -1 on error.
+int64_t wtpu_grammar_rejects(
+        const int32_t* rule_elems, const int32_t* rule_offs, int32_t n_rules,
+        const int32_t* stacks_flat, const int32_t* stack_offs, int32_t n_stacks,
+        const uint8_t* vocab_bytes, const int64_t* vocab_offs, int32_t n_tokens,
+        int32_t partial_value, int32_t partial_remain,
+        uint8_t* out_mask) {
+    using namespace wtpu_grammar;
+    if (n_rules <= 0 || n_stacks <= 0) return 0;
+    Engine g{rule_elems, rule_offs};
+    std::vector<Stack> stacks = unflatten_stacks(stacks_flat, stack_offs, n_stacks);
+
+    // decode every candidate token's codepoints into one arena
+    std::vector<uint32_t> arena;
+    arena.reserve((size_t)(vocab_offs[n_tokens] - vocab_offs[0]) + n_tokens);
+    std::vector<Cand> cands;
+    cands.reserve(n_tokens);
+    std::vector<uint32_t> cps;
+    std::vector<int64_t> starts(n_tokens, -1);
+    std::vector<int32_t> pvs(n_tokens), prs(n_tokens);
+    for (int32_t tid = 0; tid < n_tokens; tid++) {
+        int64_t a = vocab_offs[tid], b = vocab_offs[tid + 1];
+        if (b <= a) continue;                      // empty text: not a candidate
+        int32_t opv, opr;
+        decode_utf8(vocab_bytes + a, b - a, partial_value, partial_remain,
+                    cps, &opv, &opr);
+        starts[tid] = (int64_t)arena.size();
+        arena.insert(arena.end(), cps.begin(), cps.end());
+        pvs[tid] = opv; prs[tid] = opr;
+    }
+    for (int32_t tid = 0; tid < n_tokens; tid++) {
+        if (starts[tid] < 0) continue;
+        cands.push_back(Cand{tid, 0, arena.data() + starts[tid],
+                             pvs[tid], prs[tid]});
+    }
+
+    std::memset(out_mask, 0, (size_t)n_tokens);
+    std::vector<Cand> rej = reject_candidates(g, stacks, cands);
+    for (const auto& c : rej) out_mask[c.tid] = 1;
+    return (int64_t)rej.size();
+}
+
+// Accept one token: advance the stacks through its codepoints.
+// partial_io = {value, n_remain} updated in place. Writes the new stacks
+// into out_flat/out_offs (pair-granular); returns new stack count, or -1
+// if the output buffers are too small.
+int32_t wtpu_grammar_accept(
+        const int32_t* rule_elems, const int32_t* rule_offs, int32_t n_rules,
+        const int32_t* stacks_flat, const int32_t* stack_offs, int32_t n_stacks,
+        const uint8_t* token_bytes, int64_t token_len,
+        int32_t* partial_io,
+        int32_t* out_flat, int32_t* out_offs,
+        int32_t max_pairs, int32_t max_stacks) {
+    using namespace wtpu_grammar;
+    if (n_rules <= 0) return -1;
+    Engine g{rule_elems, rule_offs};
+    std::vector<Stack> stacks = unflatten_stacks(stacks_flat, stack_offs, n_stacks);
+
+    std::vector<uint32_t> cps;
+    int32_t opv, opr;
+    decode_utf8(token_bytes, token_len, partial_io[0], partial_io[1],
+                cps, &opv, &opr);
+    for (size_t k = 0; k + 1 < cps.size(); k++)
+        stacks = accept_char(g, stacks, cps[k]);
+    partial_io[0] = opv; partial_io[1] = opr;
+
+    if ((int32_t)stacks.size() > max_stacks) return -1;
+    int32_t np = 0;
+    out_offs[0] = 0;
+    for (size_t s = 0; s < stacks.size(); s++) {
+        if (np + (int32_t)stacks[s].size() > max_pairs) return -1;
+        for (const auto& p : stacks[s]) {
+            out_flat[2 * np] = p.r; out_flat[2 * np + 1] = p.i; np++;
+        }
+        out_offs[s + 1] = np;
+    }
+    return (int32_t)stacks.size();
+}
+
+}  // extern "C"

@@ -123,8 +123,14 @@ def params_from_args(args) -> "FullParams":
     p.suppress_nst = args.suppress_nst
     p.suppress_regex = args.suppress_regex
     if args.grammar:
+        import os
+
         from whisper_tpu.decoding.grammar import parse_gbnf
-        p.grammar_rules = parse_gbnf(args.grammar, args.grammar_rule)
+        src = args.grammar
+        if os.path.isfile(src):          # file path or inline text (cli.cpp:1033)
+            with open(src) as f:
+                src = f.read()
+        p.grammar_rules = parse_gbnf(src, args.grammar_rule)
         p.grammar_penalty = args.grammar_penalty
     p.vad = args.vad
     p.vad_model_path = args.vad_model
