@@ -72,6 +72,26 @@ def test_audio_transcription_dtw_example(model_file, wav_file):
     assert "t_dtw=" in r.stdout
 
 
+def test_full_usage_example(model_file, wav_file):
+    r = _run_example("full_usage.py", model_file, wav_file)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "]: " in r.stdout and " - " in r.stdout
+
+
+def test_full_usage_rejects_wrong_rate(model_file, tmp_path):
+    # reference full_usage/src/main.rs:7-27 panics on non-16 kHz input
+    import wave
+    p = str(tmp_path / "bad.wav")
+    with wave.open(p, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00" * 800)
+    r = _run_example("full_usage.py", model_file, p)
+    assert r.returncode != 0
+    assert "sample rate must be 16KHz" in (r.stdout + r.stderr)
+
+
 # ------------------------------------------------------------------ command
 
 def test_command_matching_logic():

@@ -87,6 +87,10 @@ class _LoopState(NamedTuple):
     jax.jit,
     static_argnames=("hp", "tids", "n_dec", "strategy", "beam_size", "max_tokens",
                      "single_segment", "no_timestamps", "dtype"),
+    # the caller's fresh KVCache buffer is dead after this call; donating it
+    # lets XLA alias the while-loop carry instead of allocating a second
+    # (L,B,H,Tmax,Dh) cache (large-v3 beam-5: ~0.8 GB of HBM saved)
+    donate_argnames=("kv",),
 )
 def decode_window(
     params,
