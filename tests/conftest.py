@@ -15,15 +15,12 @@ import jax  # noqa: E402
 # CPU again post-import so tests never touch the (single) real TPU.
 jax.config.update("jax_platforms", "cpu")
 
-import warnings  # noqa: E402
-
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
-# decode_window donates its KV buffer (a real HBM saving on TPU); the CPU
-# backend doesn't implement donation and warns — expected here, noise only.
-warnings.filterwarnings(
-    "ignore", message="Some donated buffers were not usable")
+# (the donated-buffer warning filter lives in pyproject.toml
+# [tool.pytest.ini_options].filterwarnings — a module-level
+# warnings.filterwarnings here is undone by pytest's per-test contexts)
 
 
 @pytest.fixture(scope="session")

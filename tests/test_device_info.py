@@ -10,8 +10,9 @@ def test_device_count_positive():
 
 
 def test_device_description_contains_platform():
+    import jax
     d = wt.device_description(0)
-    assert "cpu" in d or "tpu" in d or "TPU" in d
+    assert jax.devices()[0].platform in d  # works on any backend
 
 
 def test_device_index_out_of_range():

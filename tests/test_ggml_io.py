@@ -22,10 +22,13 @@ def _make_test_tensors(hp, ttype=quant.GGML_TYPE_F32, seed=0):
 
     # conv/pos/ln are never quantized by the reference quantizer
     add("encoder.positional_embedding", hp.n_audio_ctx, d, qt=quant.GGML_TYPE_F32)
-    add("encoder.conv1.weight", d, dm, 3, qt=quant.GGML_TYPE_F16)
-    add("encoder.conv1.bias", d, qt=quant.GGML_TYPE_F32)
-    add("encoder.conv2.weight", d, d, 3, qt=quant.GGML_TYPE_F16)
-    add("encoder.conv2.bias", d, qt=quant.GGML_TYPE_F32)
+    # conv weights are f16 unless the whole model is f32 (the reference
+    # allocates them with vtype = wtype==F32 ? F32 : F16, src/whisper.cpp:1696)
+    conv_t = quant.GGML_TYPE_F32 if ttype == quant.GGML_TYPE_F32 else quant.GGML_TYPE_F16
+    add("encoder.conv1.weight", d, dm, 3, qt=conv_t)
+    add("encoder.conv1.bias", d, 1, qt=quant.GGML_TYPE_F32)   # [n,1] like the
+    add("encoder.conv2.weight", d, d, 3, qt=conv_t)
+    add("encoder.conv2.bias", d, 1, qt=quant.GGML_TYPE_F32)   # reference format
     add("encoder.ln_post.weight", d, qt=quant.GGML_TYPE_F32)
     add("encoder.ln_post.bias", d, qt=quant.GGML_TYPE_F32)
     for i in range(hp.n_audio_layer):

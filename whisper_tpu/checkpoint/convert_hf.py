@@ -111,6 +111,11 @@ def convert_hf_to_ggml(
         if name is None:
             continue
         arr = tensor.detach().cpu().numpy().astype(np.float32)
+        if name in ("encoder.conv1.bias", "encoder.conv2.bias"):
+            # the reference stores conv biases as [n, 1] (ggml ne=[1,n]);
+            # whisper.cpp's loader shape-check rejects plain [n]
+            # (convert-pt-to-ggml.py:299-301)
+            arr = arr.reshape(arr.shape[0], 1)
         if arr.ndim == 1:
             ttype = quant.GGML_TYPE_F32
         elif name.endswith("conv1.weight") or name.endswith("conv2.weight"):

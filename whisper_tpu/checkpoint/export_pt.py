@@ -55,7 +55,12 @@ def export_hf_state_dict(path_or_ckpt) -> Tuple[Dict[str, "np.ndarray"], Whisper
         if hf is None:
             skipped.append(name)
             continue
-        sd[hf] = rt.to_float32().reshape(rt.shape)
+        arr = rt.to_float32().reshape(rt.shape)
+        if name in ("encoder.conv1.bias", "encoder.conv2.bias"):
+            # stored [n, 1] in the ggml format (convert-pt-to-ggml.py:299-301);
+            # torch wants the plain [n] bias back (reference ggml_to_pt.py)
+            arr = arr.reshape(-1)
+        sd[hf] = arr
     if skipped:
         print(f"note: {len(skipped)} unmapped tensors skipped: "
               f"{skipped[:4]}...", file=sys.stderr)

@@ -161,11 +161,13 @@ def params_from_checkpoint(
         params = {
             "encoder": {
                 "pos_embed": _get(t, "encoder.positional_embedding"),
-                # (out, in, k) -> (k, in, out) "WIO" for lax.conv NWC
+                # (out, in, k) -> (k, in, out) "WIO" for lax.conv NWC;
+                # conv biases are stored [n, 1] in the reference format
+                # (convert-pt-to-ggml.py:299-301) — flatten either layout
                 "conv1": {"w": np.ascontiguousarray(conv1_w.transpose(2, 1, 0)),
-                          "b": _get(t, "encoder.conv1.bias")},
+                          "b": _get(t, "encoder.conv1.bias").reshape(-1)},
                 "conv2": {"w": np.ascontiguousarray(conv2_w.transpose(2, 1, 0)),
-                          "b": _get(t, "encoder.conv2.bias")},
+                          "b": _get(t, "encoder.conv2.bias").reshape(-1)},
                 "ln_post": _ln(t, "encoder.ln_post"),
                 "blocks": _stack(enc_blocks),
             },

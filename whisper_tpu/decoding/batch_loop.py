@@ -76,10 +76,9 @@ def decode_windows_batch(
 
     # ---- batched prompt pass (per-row lengths via vector pos0=0) ----------
     logits_p, kv, _ = model_mod.decoder_forward(
-        params, hp, prompts, jnp.zeros(B, jnp.int32), kv, cross_k, cross_v, dtype)
-    idx = (prompt_len - 1)[:, None, None].astype(jnp.int32)
-    last_row = jnp.take_along_axis(
-        logits_p, jnp.broadcast_to(idx, (B, 1, V)), axis=1)[:, 0]   # (B, V)
+        params, hp, prompts, jnp.zeros(B, jnp.int32), kv, cross_k, cross_v, dtype,
+        logit_rows=prompt_len - 1)
+    last_row = logits_p[:, 0]                                       # (B, V)
 
     no_speech_prob = jax.nn.softmax(last_row.astype(jnp.float32), axis=-1)[:, tids.nosp]
 

@@ -47,6 +47,65 @@ SAMPLE = 1        # t > 0, multinomial over filtered probs
 BEAM = 2          # beam search (t == 0 under BEAM_SEARCH strategy)
 
 
+def beam_select(logprobs, live, sum_logprobs, prefix_hash, last_token, i,
+                beam_size: int):
+    """Beam candidate sort + dedup + slot assignment for ONE beam group
+    (reference src/whisper.cpp:7239-7290): top-k per live decoder, global
+    sort by cumulative logprob (stable — ties keep lower decoder index,
+    matching the reference comparator), skip candidates equal to an already
+    -selected sequence (only when i > 0, the reference's `&& i > 0` at
+    :7265), assign the nth surviving candidate to the nth live slot.
+
+    Shapes are per-group: logprobs (K, V), the rest (K,). Returns
+    (src, tok): source slot to fork from and sampled token per slot — local
+    indices, so the multi-utterance loop can vmap this over utterance
+    groups and offset src afterwards. Deviation (documented): when dedup
+    exhausts candidates the reference wraps and reuses them (:7260-7264);
+    here leftover slots re-take the best candidate. Both only trigger on
+    degenerate distributions.
+    """
+    B = logprobs.shape[0]
+    k = beam_size
+    top_lp, top_id = lax.top_k(logprobs, k)                 # (B, k)
+    cand_score = (sum_logprobs[:, None] + top_lp).reshape(-1)
+    cand_score = jnp.where(jnp.repeat(live, k), cand_score, NEG_INF)
+    cand_tok = top_id.reshape(-1).astype(jnp.int32)
+    cand_src = jnp.repeat(jnp.arange(B), k)
+    cand_hash = prefix_hash[cand_src] * HASH_MULT + cand_tok.astype(jnp.uint32)
+
+    order = jnp.argsort(-cand_score, stable=True)           # ties: lower idx first
+
+    n_live = jnp.sum(live.astype(jnp.int32))
+
+    def sel_body(c, sel):
+        count, s_src, s_tok, s_hash = sel
+        idx = order[c]
+        h = cand_hash[idx]
+        dup = jnp.any((s_hash == h) & (jnp.arange(B) < count)) & (i > 0)
+        ok = (cand_score[idx] > NEG_INF) & ~dup & (count < n_live)
+        s_src = jnp.where(ok, s_src.at[count].set(cand_src[idx]), s_src)
+        s_tok = jnp.where(ok, s_tok.at[count].set(cand_tok[idx]), s_tok)
+        s_hash = jnp.where(ok, s_hash.at[count].set(h), s_hash)
+        return (count + ok.astype(jnp.int32), s_src, s_tok, s_hash)
+
+    count, s_src, s_tok, s_hash = lax.fori_loop(
+        0, B * k, sel_body,
+        (jnp.int32(0),
+         jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32),
+         jnp.zeros(B, jnp.uint32)))
+    # leftover slots (dedup exhausted candidates): reuse best candidate
+    best = order[0]
+    rank_ok = jnp.arange(B) < count
+    s_src = jnp.where(rank_ok, s_src, cand_src[best])
+    s_tok = jnp.where(rank_ok, s_tok, cand_tok[best])
+
+    # map nth selected candidate -> nth live decoder slot
+    rank = jnp.cumsum(live.astype(jnp.int32)) - 1           # rank among live
+    src = jnp.where(live, s_src[jnp.clip(rank, 0, B - 1)], jnp.arange(B))
+    tok = jnp.where(live, s_tok[jnp.clip(rank, 0, B - 1)], last_token)
+    return src, tok
+
+
 class WindowResult(NamedTuple):
     tokens: jax.Array        # (B, N_MAX) i32
     tok_p: jax.Array         # (B, N_MAX) f32
@@ -123,9 +182,9 @@ def decode_window(
     # kv_seq_cp'ing to the others (:7115-7154)
     kv1 = KVCache(kv.k[:, :1], kv.v[:, :1])
     logits_p, kv1, _ = model_mod.decoder_forward(
-        params, hp, prompt[None, :], jnp.int32(0), kv1, cross_k, cross_v, dtype)
-    last_row = lax.dynamic_slice_in_dim(
-        logits_p, prompt_len - 1, 1, axis=1)[:, 0]       # (1, V)
+        params, hp, prompt[None, :], jnp.int32(0), kv1, cross_k, cross_v, dtype,
+        logit_rows=prompt_len - 1)
+    last_row = logits_p[:, 0]                            # (1, V)
 
     # no_speech prob BEFORE any filtering (reference :7124-7134)
     no_speech_prob = jax.nn.softmax(last_row[0].astype(jnp.float32))[tids.nosp]
@@ -197,44 +256,9 @@ def decode_window(
                              axis=-1).astype(jnp.int32)
             src = jnp.arange(B)
         else:  # BEAM
-            k = beam_size
-            top_lp, top_id = lax.top_k(logprobs, k)             # (B, k)
-            cand_score = (st.sum_logprobs_all[:, None] + top_lp).reshape(-1)
-            cand_score = jnp.where(jnp.repeat(live, k), cand_score, NEG_INF)
-            cand_tok = top_id.reshape(-1).astype(jnp.int32)
-            cand_src = jnp.repeat(jnp.arange(B), k)
-            cand_hash = st.prefix_hash[cand_src] * HASH_MULT + cand_tok.astype(jnp.uint32)
-
-            order = jnp.argsort(-cand_score, stable=True)       # ties: lower idx first
-
-            n_live = jnp.sum(live.astype(jnp.int32))
-
-            def sel_body(c, sel):
-                count, s_src, s_tok, s_hash = sel
-                idx = order[c]
-                h = cand_hash[idx]
-                dup = jnp.any((s_hash == h) & (jnp.arange(B) < count)) & (i > 0)
-                ok = (cand_score[idx] > NEG_INF) & ~dup & (count < n_live)
-                s_src = jnp.where(ok, s_src.at[count].set(cand_src[idx]), s_src)
-                s_tok = jnp.where(ok, s_tok.at[count].set(cand_tok[idx]), s_tok)
-                s_hash = jnp.where(ok, s_hash.at[count].set(h), s_hash)
-                return (count + ok.astype(jnp.int32), s_src, s_tok, s_hash)
-
-            count, s_src, s_tok, s_hash = lax.fori_loop(
-                0, B * k, sel_body,
-                (jnp.int32(0),
-                 jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32),
-                 jnp.zeros(B, jnp.uint32)))
-            # leftover slots (dedup exhausted candidates): reuse best candidate
-            best = order[0]
-            rank_ok = jnp.arange(B) < count
-            s_src = jnp.where(rank_ok, s_src, cand_src[best])
-            s_tok = jnp.where(rank_ok, s_tok, cand_tok[best])
-
-            # map nth selected candidate -> nth live decoder slot
-            rank = jnp.cumsum(live.astype(jnp.int32)) - 1       # (B,) rank among live
-            src = jnp.where(live, s_src[jnp.clip(rank, 0, B - 1)], jnp.arange(B))
-            tok = jnp.where(live, s_tok[jnp.clip(rank, 0, B - 1)], st.last_token)
+            src, tok = beam_select(
+                logprobs, live, st.sum_logprobs_all, st.prefix_hash,
+                st.last_token, i, beam_size)
 
             # fork: gather every per-decoder datum from the source beam
             st = st._replace(

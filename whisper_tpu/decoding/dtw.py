@@ -170,7 +170,8 @@ def compute_dtw_timestamps(
         ctx.params,
         tokens=jnp.asarray(np.asarray(tokens, np.int32)[None]),
         pos0=jnp.int32(0), kv=kv,
-        cross_k=state.cross_k, cross_v=state.cross_v)
+        cross_k=state.cross_k, cross_v=state.cross_v,
+        logit_rows=jnp.int32(0))  # QKs only — skip the vocab projection
 
     n_audio_tokens = max(1, n_frames // 2)
     n_audio_tokens = min(n_audio_tokens, cross_qk.shape[-1])

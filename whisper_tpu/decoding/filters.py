@@ -100,15 +100,16 @@ def build_filter_consts(
         if t < V:
             always[t] = True
 
-    # rule 8: suppress_regex (matched against token text, like std::regex_match)
+    # rule 8: suppress_regex. The reference matches token BYTES with
+    # std::regex_match (src/whisper.cpp:6232-6238: char-traits regex over
+    # the raw token string, one byte = one char), so compile the pattern
+    # as bytes — decoding to UTF-8 first would both change `.`/class
+    # semantics on multi-byte tokens and silently skip the 128-255 byte
+    # tokens (proven divergent by tests/test_reference_parity.py)
     if params.suppress_regex:
-        pat = re.compile(params.suppress_regex)
+        pat = re.compile(params.suppress_regex.encode("utf-8"))
         for tok, tid in vocab.token_to_id.items():
-            try:
-                text = tok.decode("utf-8")
-            except UnicodeDecodeError:
-                continue
-            if pat.fullmatch(text):
+            if pat.fullmatch(tok):
                 always[tid] = True
 
     # rule 9: non-speech tokens

@@ -215,6 +215,7 @@ def decoder_forward(
     cross_v: jax.Array,        # encoder K/V is shared across all B decoders
     dtype=jnp.bfloat16,
     collect_cross_qk: bool = False,
+    logit_rows: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, KVCache, Optional[jax.Array]]:
     """Causal decoder over a chunk of T tokens (T=1 for the sampling loop,
     T=n_prompt for prompt ingestion — the reference's batched decode,
@@ -225,7 +226,13 @@ def decoder_forward(
     (reference saves the aheads-masked softmax(QK) per layer,
     src/whisper.cpp:2736-2752).
 
-    Returns (logits[B, T, n_vocab] float32, updated KV, cross_qk or None).
+    `logit_rows` (scalar or (B,) int32): project ONLY that token row of each
+    batch entry against the vocab, returning logits (B, 1, V). This is the
+    reference's last-row-only logits trick (src/whisper.cpp:2835) — at
+    large-v3 a 232-row prompt pass would otherwise waste ~30 GFLOP on the
+    [T, 1280] x [1280, 51866] projection for rows nobody reads.
+
+    Returns (logits[B, T|1, n_vocab] float32, updated KV, cross_qk or None).
     """
     dec = params["decoder"]
     B, T = tokens.shape
@@ -276,22 +283,30 @@ def decoder_forward(
         h = layer_norm(x, blk["cross_ln"], hp.eps)
         qc = _split_heads(linear(h, blk["cross_q"]), H)
         scale = qc.shape[-1] ** -0.5
-        if ck.shape[0] == 1 and B > 1:
-            # shared encoder K/V across all decoders (beam/best-of fan-out):
-            # fold the decoder batch into the query-length axis and contract
-            # against the single K/V copy — broadcasting it B-fold would cost
-            # GBs of HBM per window for beam-5 large-v3 (L×B×H×1500×Dh)
+        if ck.shape[0] != B:
+            # shared encoder K/V across groups of decoders (beam/best-of
+            # fan-out, and utterance×beam folding in batch mode): fold each
+            # group's decoder rows into the query-length axis and contract
+            # against its single K/V copy — broadcasting it B-fold would
+            # cost GBs of HBM per window for beam-5 large-v3 (L×B×H×1500×Dh).
+            # Row u*G+g uses encoder copy u (G = rows per copy).
+            U = ck.shape[0]
+            G = B // U                                # rows per encoder copy
             ta = ck.shape[2]
-            qh = qc.transpose(1, 0, 2, 3).reshape(H, B * T, -1)   # (H, B*T, Dh)
+            dh = qc.shape[-1]
+            # (B,H,T,Dh) -> (U, H, G*T, Dh)
+            qh = (qc.reshape(U, G, H, T, dh)
+                    .transpose(0, 2, 1, 3, 4).reshape(U, H, G * T, dh))
             cross_logits = jnp.einsum(
-                "hqd,hkd->hqk", qh, ck[0],
-                preferred_element_type=jnp.float32) * scale       # (H, B*T, Ta)
+                "uhqd,uhkd->uhqk", qh, ck,
+                preferred_element_type=jnp.float32) * scale       # (U,H,G*T,Ta)
             cross_probs = jax.nn.softmax(cross_logits, axis=-1)
-            oc = jnp.einsum("hqk,hkd->hqd", cross_probs.astype(cv.dtype), cv[0],
+            oc = jnp.einsum("uhqk,uhkd->uhqd", cross_probs.astype(cv.dtype), cv,
                             preferred_element_type=jnp.float32).astype(cv.dtype)
-            oc = oc.reshape(H, B, T, -1).transpose(1, 0, 2, 3)    # (B, H, T, Dh)
-            cross_probs = (cross_probs.reshape(H, B, T, ta)
-                           .transpose(1, 0, 2, 3))                # (B, H, T, Ta)
+            oc = (oc.reshape(U, H, G, T, dh)
+                    .transpose(0, 2, 1, 3, 4).reshape(B, H, T, dh))
+            cross_probs = (cross_probs.reshape(U, H, G, T, ta)
+                           .transpose(0, 2, 1, 3, 4).reshape(B, H, T, ta))
         else:
             cross_logits = jnp.einsum("bhqd,bhkd->bhqk", qc, ck,
                                       preferred_element_type=jnp.float32) * scale
@@ -313,9 +328,12 @@ def decoder_forward(
     cross_qk = extras[2] if collect_cross_qk else None
 
     x = layer_norm(x, dec["ln"], hp.eps)
-    # logits for every token in the chunk; callers slice the last row when
-    # sampling (the reference computes only the last row, :2835 — here the
-    # prompt pass wants all rows for scoring, and T=1 in the token loop)
+    if logit_rows is not None:
+        # slice BEFORE the vocab projection (reference computes last-row
+        # logits only, src/whisper.cpp:2835)
+        lr = jnp.broadcast_to(jnp.asarray(logit_rows, jnp.int32), (B,))
+        x = jnp.take_along_axis(
+            x, jnp.broadcast_to(lr[:, None, None], (B, 1, x.shape[-1])), axis=1)
     logits = jnp.dot(x, dec["token_embed"].astype(x.dtype).T,
                      preferred_element_type=jnp.float32)
     return logits, KVCache(new_k, new_v), cross_qk

@@ -55,21 +55,25 @@ def devices_info() -> List[Dict]:
 
     out = []
     for i, d in enumerate(jax.devices()):
-        total = device_total_memory(i)
+        # one memory_stats() round trip per device; total/used both derive
+        # from the same dict (relayed TPUs/CPU may not expose stats at all)
+        try:
+            stats = d.memory_stats() or {}
+        except Exception:
+            stats = {}
+        total = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
         entry = {
             "index": i,
             "id": d.id,
             "platform": d.platform,
             "kind": d.device_kind,
             "process_index": d.process_index,
-            "description": device_description(i),
+            "description": (f"{d.platform}:{d.device_kind} "
+                            f"(id={d.id}, process={d.process_index})"),
         }
         if total is not None:
             entry["total_memory_bytes"] = total
-            try:
-                used = d.memory_stats().get("bytes_in_use")
-            except Exception:
-                used = None
+            used = stats.get("bytes_in_use")
             if used is not None:
                 entry["free_memory_bytes"] = max(total - used, 0)
         out.append(entry)
