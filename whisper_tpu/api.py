@@ -346,11 +346,12 @@ class WhisperState:
         offsets + overlap clamping (reference whisper_full_parallel,
         src/whisper.cpp:7736-7864 — its entire 'distributed' story).
 
-        The reference runs chunks on host threads; the TPU-native throughput
-        axis is data-parallel window batching over the device mesh
-        (parallel/mesh.py), so here chunks share one device and run in
-        sequence — identical output semantics, same accuracy caveat at
-        boundaries (:7861)."""
+        The reference runs chunks on host threads; here all chunks advance
+        TOGETHER through the continuous-batching path (one batched encoder
+        call and one batched on-device token loop per round — see
+        decoding/batch_full.py), so -p N buys real MXU-batch concurrency.
+        Merge semantics are the reference's: per-chunk timestamp offset +
+        overlap clamping; same accuracy caveat at boundaries (:7861)."""
         if n_processors <= 1:
             return self.full(params, samples)
 
@@ -358,26 +359,28 @@ class WhisperState:
         n_per = (len(samples) - offset_samples) // n_processors
 
         import copy
-        states = []
-        # first chunk keeps the caller's offset; others start at 0
-        p0 = copy.copy(params)
-        ret = self.full(p0, samples[: offset_samples + n_per])
-        for i in range(n_processors - 1):
-            start = offset_samples + (i + 1) * n_per
-            end = len(samples) if i == n_processors - 2 else start + n_per
-            pc = copy.copy(params)
-            pc.offset_ms = 0
-            pc.print_progress = False
-            pc.new_segment_callback = None
-            pc.progress_callback = None
-            st = self.ctx.create_state()
-            st.full(pc, samples[start:end])
-            states.append((i, st))
+        pc = copy.copy(params)
+        pc.offset_ms = 0
+        pc.print_progress = False
+        pc.new_segment_callback = None
+        pc.progress_callback = None
 
+        chunks = []
+        for i in range(n_processors):
+            start = offset_samples + i * n_per
+            end = len(samples) if i == n_processors - 1 else start + n_per
+            chunks.append(np.asarray(samples[start:end], np.float32))
+
+        from whisper_tpu.decoding.batch_full import run_full_batch
+        per_chunk = run_full_batch(self.ctx, pc, chunks,
+                                   timings_sink=self.timings)
+
+        # merge with timestamp offset + overlap clamp (:7812-7846)
         offset_t = params.offset_ms // 10
-        for i, st in states:
-            for seg in st.segments:
-                shift = 100 * ((i + 1) * n_per) // cfg.SAMPLE_RATE + offset_t
+        self.segments = []
+        for i, segs in enumerate(per_chunk):
+            shift = 100 * (i * n_per) // cfg.SAMPLE_RATE + offset_t
+            for seg in segs:
                 seg.t0 += shift
                 seg.t1 += shift
                 if self.segments:
@@ -385,9 +388,7 @@ class WhisperState:
                 self.segments.append(seg)
                 if params.new_segment_callback:
                     params.new_segment_callback(self.ctx, self, seg)
-            for phase, stat in st.timings.phases.items():
-                self.timings.add(phase, stat.total_s, stat.calls)
-        return ret
+        return 0
 
     def lang_detect(self, offset_ms: int = 0) -> Tuple[int, np.ndarray]:
         from whisper_tpu.decoding.language import lang_auto_detect

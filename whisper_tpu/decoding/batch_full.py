@@ -33,11 +33,23 @@ from whisper_tpu.models.whisper import KVCache
 DELTA_MIN = 10
 
 
+class _RowsView:
+    """Per-utterance row-slice of a BatchWindowResult, shaped like a
+    WindowResult for scoring.rank_decoders."""
+
+    def __init__(self, tokens, tok_plog, result_len, failed):
+        self.tokens = tokens
+        self.tok_plog = tok_plog
+        self.result_len = result_len
+        self.failed = failed
+
+
 def run_full_batch(
     ctx,
     params: FullParams,
     audios: Sequence[np.ndarray],
     mesh=None,
+    timings_sink=None,
 ) -> List[List[Segment]]:
     hp = ctx.hparams
     vocab = ctx.vocab
@@ -114,13 +126,28 @@ def run_full_batch(
             plens[b] = len(pr)
 
         # ---- decode attempts over the temperature ladder ------------------
+        # each utterance owns K decoder rows per attempt: beam_size under
+        # BEAM_SEARCH at t=0, best_of when sampling at t>0 (the reference's
+        # n_decoders_cur, src/whisper.cpp:7024-7044) — folded into one
+        # (B*K)-row batch with block-diagonal beam forks
         needy = active.copy()
-        best = [None] * B          # per-row final result views
+        best = [None] * B          # per-utterance (result, winning row, score)
+        from whisper_tpu.config import SamplingStrategy
         for it, t_cur in enumerate(temperatures):
             if not needy.any():
                 break
-            strat = device_loop.SAMPLE if t_cur > 0 else device_loop.GREEDY_BEST
-            kv = KVCache.zeros(hp, B, ctx.dtype)
+            if params.strategy == SamplingStrategy.GREEDY:
+                strat = device_loop.SAMPLE if t_cur > 0 else device_loop.GREEDY_BEST
+                K = params.greedy.best_of if t_cur > 0 else 1
+            else:
+                if t_cur > 0:
+                    strat = device_loop.SAMPLE
+                    K = params.greedy.best_of
+                else:
+                    strat = device_loop.BEAM
+                    K = params.beam_search.beam_size
+            K = max(1, K)
+            kv = KVCache.zeros(hp, B * K, ctx.dtype)
             t0 = time.perf_counter()
             res = batch_loop.decode_windows_batch(
                 ctx.params, hp, consts, ck, cv,
@@ -128,7 +155,7 @@ def run_full_batch(
                 jnp.float32(t_cur), jnp.asarray(seek), jnp.asarray(seek_end),
                 jnp.asarray(needy),
                 jax.random.PRNGKey(rng_seed + it),
-                tids=tids, n_rows=B, strategy=strat,
+                tids=tids, n_utt=B, n_per_utt=K, strategy=strat,
                 max_tokens=params.max_tokens,
                 single_segment=params.single_segment,
                 no_timestamps=no_timestamps, dtype=ctx.dtype)
@@ -143,15 +170,22 @@ def run_full_batch(
             for b in range(B):
                 if not needy[b]:
                     continue
-                rl = int(res.result_len[b])
-                sc = scoring.score_sequence(
-                    res.tokens[b][:rl], res.tok_plog[b][:rl], params.length_penalty)
-                row_failed = bool(res.failed[b]) or (
-                    rl > 32 and sc.entropy < params.entropy_thold)
+                rows = slice(b * K, (b + 1) * K)
+                view = _RowsView(
+                    tokens=res.tokens[rows], tok_plog=res.tok_plog[rows],
+                    result_len=res.result_len[rows], failed=res.failed[rows])
+                j, row_scores, row_failed = scoring.rank_decoders(view, params)
+                sc = row_scores[j]
+                all_failed = bool(row_failed[j]) or sc is None
                 fallback = scoring.needs_fallback(
-                    row_failed, sc.avg_logprobs, float(res.no_speech_prob[b]),
+                    all_failed,
+                    sc.avg_logprobs if sc else float("-inf"),
+                    float(res.no_speech_prob[b]),
                     params, it == len(temperatures) - 1)
-                best[b] = (res, b, sc)
+                best[b] = (res, b * K + j,
+                           sc or scoring.score_sequence(
+                               np.zeros(0, np.int32), np.zeros(0, np.float32),
+                               params.length_penalty))
                 if not fallback:
                     needy[b] = False
             # rows still needy rerun at the next temperature
@@ -163,7 +197,7 @@ def run_full_batch(
             res, rb, sc = best[b]
             result_len = int(res.result_len[rb])
             sd = int(res.seek_delta[rb])
-            nsp = float(res.no_speech_prob[rb])
+            nsp = float(res.no_speech_prob[b])   # per-utterance (U,)
             states[b].no_speech_prob = nsp
 
             tokens_cur = [
@@ -210,4 +244,10 @@ def run_full_batch(
                 done[b] = True
         rng_seed += 1000
 
+    if timings_sink is not None:
+        # aggregate per-utterance timings (reference whisper_full_parallel
+        # sums its workers' timings, src/whisper.cpp:7849-7858)
+        for st in states:
+            for phase, stat in st.timings.phases.items():
+                timings_sink.add(phase, stat.total_s, stat.calls)
     return results

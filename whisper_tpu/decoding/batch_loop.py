@@ -1,14 +1,17 @@
 """Multi-utterance on-device window decode — continuous batching.
 
 The TPU-native replacement for whisper_full_parallel's thread-per-chunk
-model (reference src/whisper.cpp:7736-7864): B independent utterances
+model (reference src/whisper.cpp:7736-7864): U independent utterances
 decode their current 30 s windows TOGETHER in one jitted lax.while_loop,
-each with its own prompt length, seek position, and completion state. The
-decoder runs with batch B on the MXU; per-row prompt offsets use the
-vector-pos0 path in models/whisper.decoder_forward.
+each with its own prompt length, seek position, and completion state.
 
-Greedy / multinomial only: a beam would fork rows within an utterance
-group (device_loop.py handles single-utterance beams).
+Each utterance owns K decoder rows (K = beam_size for BEAM, best_of for
+SAMPLE, 1 for greedy), folded into one (B = U*K)-row decoder batch on the
+MXU. Beam forking stays block-diagonal: row u*K+j may only gather from
+rows u*K..u*K+K-1 (the reference's kv_seq_cp within one state,
+src/whisper.cpp:7239-7290, vmapped over utterances). The encoder K/V is
+kept at batch U — models/whisper.decoder_forward folds each utterance's K
+rows into the query axis instead of materializing B copies.
 """
 
 from __future__ import annotations
@@ -21,14 +24,21 @@ import jax.numpy as jnp
 from jax import lax
 
 from whisper_tpu.config import CHUNK_SIZE, WhisperHParams
-from whisper_tpu.decoding.device_loop import DELTA_MIN, SAMPLE, NEG_INF
+from whisper_tpu.decoding.device_loop import (
+    BEAM,
+    DELTA_MIN,
+    HASH_MULT,
+    NEG_INF,
+    SAMPLE,
+    beam_select,
+)
 from whisper_tpu.decoding.filters import FilterConsts, TokenIds, apply_filters, timestamp_stats
 from whisper_tpu.models import whisper as model_mod
 from whisper_tpu.models.whisper import KVCache
 
 
 class BatchWindowResult(NamedTuple):
-    tokens: jax.Array        # (B, N_MAX)
+    tokens: jax.Array        # (B, N_MAX) — B = n_utt * rows-per-utterance
     tok_p: jax.Array
     tok_plog: jax.Array
     tok_pt: jax.Array
@@ -40,30 +50,42 @@ class BatchWindowResult(NamedTuple):
     failed: jax.Array
     completed: jax.Array
     sum_logprobs_all: jax.Array
-    no_speech_prob: jax.Array  # (B,)
+    no_speech_prob: jax.Array  # (U,) — one per utterance
+
+
+def rows_per_utt(strategy: int, beam_size: int, best_of: int = 1) -> int:
+    """Decoder rows per utterance for a batch attempt (reference
+    n_decoders_cur logic, src/whisper.cpp:7024-7044)."""
+    if strategy == BEAM:
+        return max(1, beam_size)
+    if strategy == SAMPLE:
+        return max(1, best_of)
+    return 1
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("hp", "tids", "n_rows", "strategy", "max_tokens",
-                     "single_segment", "no_timestamps", "dtype"),
+    static_argnames=("hp", "tids", "n_utt", "n_per_utt", "strategy",
+                     "max_tokens", "single_segment", "no_timestamps", "dtype"),
+    donate_argnames=("kv",),
 )
 def decode_windows_batch(
     params,
     hp: WhisperHParams,
     consts: FilterConsts,
-    cross_k, cross_v,         # (L, B, H, Ta, Dh)
-    prompts: jax.Array,       # (B, PROMPT_MAX) i32, right-padded per row
-    prompt_len: jax.Array,    # (B,) i32
-    kv: KVCache,              # (L, B, H, Tmax, Dh)
+    cross_k, cross_v,         # (L, U, H, Ta, Dh) — one encoder copy per utt
+    prompts: jax.Array,       # (U, PROMPT_MAX) i32, right-padded per row
+    prompt_len: jax.Array,    # (U,) i32
+    kv: KVCache,              # (L, B, H, Tmax, Dh), B = U * n_per_utt
     temperature: jax.Array,   # () f32
-    seek: jax.Array,          # (B,) i32
-    seek_end: jax.Array,      # (B,) i32
-    row_active: jax.Array,    # (B,) bool — False rows are skipped entirely
+    seek: jax.Array,          # (U,) i32
+    seek_end: jax.Array,      # (U,) i32
+    row_active: jax.Array,    # (U,) bool — False utterances are skipped
     rng_key: jax.Array,
     *,
     tids: TokenIds,
-    n_rows: int,
+    n_utt: int,
+    n_per_utt: int = 1,
     strategy: int,
     max_tokens: int = 0,
     single_segment: bool = False,
@@ -71,16 +93,39 @@ def decode_windows_batch(
     dtype=jnp.bfloat16,
 ) -> BatchWindowResult:
     V = tids.n_vocab
-    B = n_rows
+    U = n_utt
+    K = n_per_utt
+    B = U * K
     n_max = hp.n_text_ctx // 2 - 4
 
-    # ---- batched prompt pass (per-row lengths via vector pos0=0) ----------
-    logits_p, kv, _ = model_mod.decoder_forward(
-        params, hp, prompts, jnp.zeros(B, jnp.int32), kv, cross_k, cross_v, dtype,
-        logit_rows=prompt_len - 1)
-    last_row = logits_p[:, 0]                                       # (B, V)
+    def to_rows(x):
+        """(U, ...) -> (B, ...) utterance-major repeat."""
+        return jnp.repeat(x, K, axis=0, total_repeat_length=B)
 
-    no_speech_prob = jax.nn.softmax(last_row.astype(jnp.float32), axis=-1)[:, tids.nosp]
+    # ---- batched prompt pass: once per UTTERANCE, KV broadcast over its K
+    # rows (the reference decodes the prompt on decoder 0 and kv_seq_cp's
+    # to the others, :7115-7154)
+    kv_u = KVCache(kv.k[:, :U], kv.v[:, :U])
+    logits_p, kv_u, _ = model_mod.decoder_forward(
+        params, hp, prompts, jnp.zeros(U, jnp.int32), kv_u, cross_k, cross_v,
+        dtype, logit_rows=prompt_len - 1)
+    last_row = logits_p[:, 0]                                       # (U, V)
+
+    no_speech_prob = jax.nn.softmax(
+        last_row.astype(jnp.float32), axis=-1)[:, tids.nosp]        # (U,)
+
+    L = kv.k.shape[0]
+    kv = KVCache(
+        jnp.broadcast_to(kv_u.k[:, :, None], (L, U, K) + kv_u.k.shape[2:])
+           .reshape((L, B) + kv_u.k.shape[2:]).astype(kv.k.dtype),
+        jnp.broadcast_to(kv_u.v[:, :, None], (L, U, K) + kv_u.v.shape[2:])
+           .reshape((L, B) + kv_u.v.shape[2:]).astype(kv.v.dtype),
+    )
+    logits0 = to_rows(last_row.astype(jnp.float32))                 # (B, V)
+
+    plen_row = to_rows(prompt_len)
+    seek_row = to_rows(seek)
+    seek_end_row = to_rows(seek_end)
 
     class _S(NamedTuple):
         i: jax.Array
@@ -99,9 +144,10 @@ def decode_windows_batch(
         completed: jax.Array
         result_len: jax.Array
         last_token: jax.Array
+        prefix_hash: jax.Array
 
     st0 = _S(
-        i=jnp.int32(0), kv=kv, logits=last_row.astype(jnp.float32),
+        i=jnp.int32(0), kv=kv, logits=logits0,
         tokens=jnp.zeros((B, n_max), jnp.int32),
         tok_p=jnp.zeros((B, n_max), jnp.float32),
         tok_plog=jnp.zeros((B, n_max), jnp.float32),
@@ -112,9 +158,10 @@ def decode_windows_batch(
         seek_delta=jnp.full(B, 100 * CHUNK_SIZE, jnp.int32),
         has_ts=jnp.zeros(B, bool),
         failed=jnp.zeros(B, bool),
-        completed=~row_active,          # inactive rows never decode
+        completed=~to_rows(row_active),   # inactive rows never decode
         result_len=jnp.zeros(B, jnp.int32),
         last_token=jnp.zeros(B, jnp.int32),
+        prefix_hash=jnp.zeros(B, jnp.uint32),
     )
 
     def cond(st):
@@ -140,6 +187,32 @@ def decode_windows_batch(
             g = jax.random.gumbel(jax.random.fold_in(rng_key, i), (B, V))
             tok = jnp.argmax(jnp.where(jnp.isinf(logprobs), NEG_INF, logprobs + g),
                              axis=-1).astype(jnp.int32)
+        elif strategy == BEAM:
+            # block-diagonal fork: beam_select per utterance group, vmapped
+            sel = jax.vmap(
+                functools.partial(beam_select, beam_size=K, i=i))(
+                logprobs.reshape(U, K, V),
+                live.reshape(U, K),
+                st.sum_lp.reshape(U, K),
+                st.prefix_hash.reshape(U, K),
+                st.last_token.reshape(U, K))
+            src_local, tok = sel
+            src = (jnp.arange(U)[:, None] * K + src_local).reshape(B)
+            tok = tok.reshape(B)
+            st = st._replace(
+                kv=st.kv.reorder(src),
+                tokens=st.tokens[src],
+                tok_p=st.tok_p[src], tok_plog=st.tok_plog[src],
+                tok_pt=st.tok_pt[src], tok_ptsum=st.tok_ptsum[src],
+                tok_tid=st.tok_tid[src],
+                sum_lp=st.sum_lp[src],
+                seek_delta=st.seek_delta[src], has_ts=st.has_ts[src],
+                result_len=st.result_len[src],
+                prefix_hash=st.prefix_hash[src] * HASH_MULT + tok.astype(jnp.uint32),
+            )
+            logprobs = logprobs[src]
+            probs = probs[src]
+            pt, ptsum, tid = pt[src], ptsum[src], tid[src]
         else:
             tok = jnp.argmax(probs, axis=-1).astype(jnp.int32)
 
@@ -171,12 +244,12 @@ def decode_windows_batch(
         has_ts = has_ts | ok_ts
 
         live2 = live & ~regress
-        end_of_audio = has_ts & (seek + seek_delta + DELTA_MIN >= seek_end)
+        end_of_audio = has_ts & (seek_row + seek_delta + DELTA_MIN >= seek_end_row)
         hit_max = (max_tokens > 0) & (i >= max_tokens)
         eos = live2 & ((tok == tids.eot) | hit_max | end_of_audio)
 
         rl0 = eos & (result_len == 0) & (not no_timestamps)
-        rl0_ok = rl0 & (seek + seek_delta + DELTA_MIN >= seek_end)
+        rl0_ok = rl0 & (seek_row + seek_delta + DELTA_MIN >= seek_end_row)
         result_len = jnp.where(rl0_ok, i + 1, result_len)
         failed = failed | (rl0 & ~rl0_ok)
         eos = eos & ~(rl0 & ~rl0_ok)
@@ -191,7 +264,7 @@ def decode_windows_batch(
         failed = failed | rep
 
         next_tok = jnp.where(live, tok, st.last_token)
-        pos = prompt_len + i                      # (B,) vector positions
+        pos = plen_row + i                        # (B,) vector positions
         lg_next, kv_next = model_mod.decode_logits_only(
             params, hp, next_tok[:, None], pos, st.kv, cross_k, cross_v, dtype)
 
@@ -200,7 +273,7 @@ def decode_windows_batch(
                   tok_ptsum=tok_ptsum, tok_tid=tok_tid, sum_lp=sum_lp,
                   seek_delta=seek_delta, has_ts=has_ts, failed=failed,
                   completed=completed, result_len=result_len,
-                  last_token=next_tok)
+                  last_token=next_tok, prefix_hash=st.prefix_hash)
 
     fin = lax.while_loop(cond, body, st0)
     return BatchWindowResult(
