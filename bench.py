@@ -19,6 +19,19 @@ between two chained-iteration-count variants of one jitted program
 (t(n2) - t(n1)) / (n2 - n1): per-call overhead cancels and no D2H is
 needed. Chains are data-dependent so XLA cannot CSE the repeats.
 Weights are random (no checkpoints ship here); timing is value-independent.
+
+Round-2 investigation (PERF.md "Relay timing" section has the full record):
+block_until_ready returns in ~100 us regardless of queued compute — 1024
+chained 137-GFLOP matmul programs "complete" in 17 ms of wall clock, a
+physically impossible 135,000 TFLOPs. Scalar D2H, jax.profiler traces, and
+memory_stats were all tried as synchronization anchors; none are usable
+(one scalar fetch succeeded with correct data from a fresh relay, then the
+channel wedged permanently). Execution time is therefore NOT observable
+from this session; the probe below detects that and the JSON line carries
+timing_unreliable rather than publishing fiction. What IS provable on the
+chip: programs compile and dispatch at full scale — the large-v3 beam-5
+decode_window program is AOT-compiled every run and its XLA memory
+analysis (weights + KV + temps vs 16 GB HBM) is reported as evidence.
 """
 
 import functools
@@ -98,6 +111,86 @@ def timing_reliability_probe() -> float:
     log(f"probe: {t*1e3:.3f} ms/matmul -> {tflops:.0f} TFLOPs "
         f"(peak {V5E_PEAK_TFLOPS})")
     return tflops
+
+
+def largev3_beam5_compile_check() -> dict:
+    """AOT-compile the NORTH-STAR program — full-window beam-5 decode at
+    large-v3 dims (BASELINE.json) — plus the large-v3 encoder, on the real
+    chip, from abstract shapes (no 3.2 GB weight upload). Returns XLA's
+    memory analysis: the strongest perf evidence this relay permits
+    (execution time is unobservable — see module docstring)."""
+    import jax
+    import jax.numpy as jnp
+    import time as _t
+
+    from whisper_tpu.checkpoint.init import random_params
+    from whisper_tpu.config import FullParams, PRESET_HPARAMS, SamplingStrategy
+    from whisper_tpu.decoding import device_loop, filters
+    from whisper_tpu.models import whisper as model_mod
+    from whisper_tpu.models.whisper import KVCache
+    from whisper_tpu.tokenizer import synthetic_vocab
+
+    hp = PRESET_HPARAMS["large-v3"]
+    vocab = synthetic_vocab(hp.n_vocab)
+    consts, tids = filters.build_filter_consts(
+        vocab, hp, FullParams.default(SamplingStrategy.BEAM_SEARCH))
+
+    # abstract weights: shapes/dtypes from a real tiny instantiation rule
+    shapes = jax.eval_shape(
+        lambda: jax.tree_util.tree_map(
+            jnp.asarray, random_params(hp, seed=0, compute_dtype="bfloat16")))
+    abs_params = jax.tree_util.tree_map(
+        lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype), shapes)
+
+    L, H = hp.n_text_layer, hp.n_text_head
+    dh = hp.n_text_state // hp.n_text_head
+    ck = jax.ShapeDtypeStruct((L, 1, H, hp.n_audio_ctx, dh), jnp.bfloat16)
+    prompt_max = hp.n_text_ctx // 2 + 8
+    i32, f32 = jnp.int32, jnp.float32
+
+    t0 = _t.perf_counter()
+    dec = device_loop.decode_window.lower(
+        abs_params, hp, consts, ck, ck,
+        jax.ShapeDtypeStruct((prompt_max,), i32),
+        jax.ShapeDtypeStruct((), i32),
+        jax.ShapeDtypeStruct((), f32),
+        jax.ShapeDtypeStruct((), i32), jax.ShapeDtypeStruct((), i32),
+        jax.ShapeDtypeStruct((2,), jnp.uint32),
+        tids=tids, n_dec=5, strategy=device_loop.BEAM, beam_size=5,
+        dtype=jnp.bfloat16).compile()
+    t_dec = _t.perf_counter() - t0
+
+    t0 = _t.perf_counter()
+    enc = jax.jit(model_mod.encoder_forward,
+                  static_argnames=("hp", "dtype")).lower(
+        abs_params,
+        hp=hp,
+        mel=jax.ShapeDtypeStruct((1, hp.n_mels, 2 * hp.n_audio_ctx), jnp.bfloat16),
+        dtype=jnp.bfloat16).compile()
+    t_enc = _t.perf_counter() - t0
+
+    def mem(c):
+        m = c.memory_analysis()
+        return {
+            "args_gb": round(m.argument_size_in_bytes / 2**30, 3),
+            "temp_gb": round(m.temp_size_in_bytes / 2**30, 3),
+            "out_mb": round(m.output_size_in_bytes / 2**20, 3),
+            "code_mb": round(m.generated_code_size_in_bytes / 2**20, 2),
+        }
+
+    out = {
+        "ok": True,
+        "decode_window_beam5": {"compile_s": round(t_dec, 1), **mem(dec)},
+        "encoder": {"compile_s": round(t_enc, 1), **mem(enc)},
+    }
+    total = (dec.memory_analysis().argument_size_in_bytes
+             + dec.memory_analysis().temp_size_in_bytes)
+    out["hbm_peak_gb"] = round(total / 2**30, 2)
+    log(f"large-v3 beam-5 decode_window compiled in {t_dec:.1f}s "
+        f"(args {out['decode_window_beam5']['args_gb']} GB + temps "
+        f"{out['decode_window_beam5']['temp_gb']} GB of 16 GB HBM); "
+        f"encoder in {t_enc:.1f}s")
+    return out
 
 
 def main():
@@ -223,6 +316,14 @@ def main():
         # relay ready-events lied (see probe): numbers are not physical
         out["timing_unreliable"] = True
         out["probe_tflops"] = round(probe_tflops)
+
+    # north-star program at scale: compile + memory evidence on the chip
+    if os.environ.get("WHISPER_TPU_BENCH_LV3", "1") != "0":
+        try:
+            out["largev3_beam5"] = largev3_beam5_compile_check()
+        except Exception as e:  # never lose the primary metric line
+            out["largev3_beam5"] = {"ok": False, "error": str(e)[:300]}
+
     print(json.dumps(out), flush=True)
 
 

@@ -60,7 +60,6 @@ def test_device_beam_matches_host_beam(setup):
     dev = device_loop.decode_window(
         ctx.params, hp, consts, st.cross_k, st.cross_v,
         jnp.asarray(pp), jnp.int32(len(prompt)),
-        KVCache.zeros(hp, B, ctx.dtype),
         jnp.float32(0.0), jnp.int32(seek), jnp.int32(seek_end),
         jax.random.PRNGKey(0),
         tids=tids, n_dec=B, strategy=device_loop.BEAM, beam_size=3,

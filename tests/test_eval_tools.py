@@ -62,8 +62,10 @@ def test_download_cli_list_and_errors(capsys):
     assert "ggml-tiny.bin" in capsys.readouterr().out
 
 
-def test_librispeech_runner_layout(tmp_path, jfk_like_audio):
-    """End-to-end on a fabricated mini LibriSpeech split."""
+def test_librispeech_runner_layout(tmp_path, jfk_like_audio, capsys):
+    """End-to-end on a fabricated mini LibriSpeech split: the pipeline must
+    produce a finite corpus WER number (VERDICT r1 item 9 — the harness
+    must not be write-only code)."""
     import sys
     sys.path.insert(0, "tests")
     from test_ggml_io import _make_test_tensors
@@ -82,10 +84,27 @@ def test_librispeech_runner_layout(tmp_path, jfk_like_audio):
     d = tmp_path / "LibriSpeech" / "test-clean" / "1" / "2"
     d.mkdir(parents=True)
     write_wav(str(d / "1-2-0001.wav"), jfk_like_audio[: 16000 * 2])
-    (d / "1-2.trans.txt").write_text("1-2-0001 HELLO WORLD\n")
+    write_wav(str(d / "1-2-0002.wav"), jfk_like_audio[16000 : 16000 * 4])
+    (d / "1-2.trans.txt").write_text(
+        "1-2-0001 HELLO WORLD\n1-2-0002 ASK NOT WHAT YOUR COUNTRY CAN DO\n")
+    hyp_dir = tmp_path / "hyps"
+    hyp_dir.mkdir()
 
-    rc = eval_main(["-m", model_path, "-d", str(tmp_path / "LibriSpeech")])
-    assert rc == 0  # prints WER (100% with random weights — that's fine)
+    rc = eval_main(["-m", model_path, "-d", str(tmp_path / "LibriSpeech"),
+                    "--hyp-dir", str(hyp_dir)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    # a real corpus WER line with a finite value (random weights -> high
+    # WER, but the number must exist and be a float)
+    import re
+    m = re.search(r"WER: ([0-9.]+)%\s+\((\d+) utterances\)", out)
+    assert m, f"no WER line in output: {out!r}"
+    score, n_utt = float(m.group(1)), int(m.group(2))
+    assert np.isfinite(score) and score >= 0.0
+    assert n_utt == 2
+    # per-utterance hypothesis files were written
+    assert sorted(p.name for p in hyp_dir.iterdir()) == [
+        "1-2-0001.txt", "1-2-0002.txt"]
 
 
 def test_micro_bench_cpu(capsys):

@@ -35,10 +35,9 @@ def test_device_matches_host_greedy(jfk_like_audio):
     prompt_max = hp.n_text_ctx // 2 + 8
     pp = np.zeros(prompt_max, np.int32)
     pp[: len(prompt)] = prompt
-    kv = KVCache.zeros(hp, 1, ctx.dtype)
     dev = device_loop.decode_window(
         ctx.params, hp, consts, st.cross_k, st.cross_v,
-        jnp.asarray(pp), jnp.int32(len(prompt)), kv,
+        jnp.asarray(pp), jnp.int32(len(prompt)),
         jnp.float32(0.0), jnp.int32(seek), jnp.int32(seek_end),
         jax.random.PRNGKey(0),
         tids=tids, n_dec=1, strategy=device_loop.GREEDY_BEST,

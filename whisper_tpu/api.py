@@ -71,7 +71,10 @@ class WhisperContext:
         self.mel_filters = model.mel_filters
         self.n_loaded = model.n_loaded
         self.dtype = jnp.bfloat16 if self.cparams.dtype == "bfloat16" else jnp.float32
-        # upload weights once; jax caches device placement
+        # upload weights once; jax caches device placement. The loader's
+        # host (numpy) pytree is kept for cpu_twin() — reading weights BACK
+        # from the device is not possible on D2H-less TPU serving relays.
+        self._host_params = model.params or {}
         self.params = jax.tree_util.tree_map(jnp.asarray, model.params) if model.params else {}
 
     # -- constructors mirroring the reference API ---------------------------
@@ -120,6 +123,33 @@ class WhisperContext:
     def create_state(self) -> "WhisperState":
         """reference whisper_init_state (src/whisper.cpp:3390-3561)."""
         return WhisperState(self)
+
+    @property
+    def exec_backend(self) -> str:
+        """The backend this context's weights execute on ('cpu' for a
+        cpu_twin regardless of the process default backend) — gates
+        TPU-only paths like the Pallas flash-attention kernel."""
+        if getattr(self, "_cpu_twin", None) is self:
+            return "cpu"
+        return jax.default_backend()
+
+    def cpu_twin(self) -> "WhisperContext":
+        """A context sharing this model's metadata with the weights placed
+        on the CPU backend. Grammar / logits-callback decoding steps logits
+        on the host each token (decoding/host_loop.py); on TPU serving
+        relays where device->host transfers are unsupported, run_full
+        transparently reroutes those requests here. Lazily built + cached
+        (one weight copy)."""
+        twin = getattr(self, "_cpu_twin", None)
+        if twin is None:
+            cpu0 = jax.devices("cpu")[0]
+            twin = object.__new__(WhisperContext)
+            twin.__dict__.update(self.__dict__)
+            twin.params = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, cpu0), self._host_params)
+            twin._cpu_twin = twin
+            self._cpu_twin = twin
+        return twin
 
     def warmup(self, params: Optional[FullParams] = None) -> None:
         """Pre-compile the mel/encoder/cross/decode-window programs so the
@@ -241,7 +271,7 @@ class WhisperState:
         # Pallas fused attention on TPU (reference flash_attn path,
         # src/whisper.cpp:2159-2207); XLA attention elsewhere (the Pallas
         # interpreter on CPU is orders slower than XLA's fusion)
-        use_flash = ctx.cparams.flash_attn and jax.default_backend() == "tpu"
+        use_flash = ctx.cparams.flash_attn and ctx.exec_backend == "tpu"
         embed = _encode_jit(ctx.params, hp, mel_win, ctx.dtype, use_flash)
         self.audio_embed = embed
         self.cross_k, self.cross_v = _cross_kv_jit(ctx.params, hp, embed)

@@ -103,15 +103,15 @@ def run_full_batch(
         t0 = time.perf_counter()
         from whisper_tpu.api import _encode_jit, _cross_kv_jit
         embed = _encode_jit(ctx.params, hp, mel_batch, ctx.dtype,
-                            ctx.cparams.flash_attn and jax.default_backend() == "tpu")
+                            ctx.cparams.flash_attn and ctx.exec_backend == "tpu")
         ck, cv = _cross_kv_jit(ctx.params, hp, embed)
         ck.block_until_ready()
         for b in range(B):
             if active[b]:
                 states[b].timings.add("encode", (time.perf_counter() - t0) / max(1, active.sum()))
 
-        # ---- per-row prompts ----------------------------------------------
-        prompts = np.zeros((B, prompt_max), np.int32)
+        # ---- per-row prompts (padded to the smallest shared bucket — see
+        # loop.py prompt_bucket; one bucket per round keeps rows uniform) --
         plens = np.ones(B, np.int32)
         row_prompts: List[List[int]] = []
         for b in range(B):
@@ -122,8 +122,12 @@ def run_full_batch(
                 pr = [vocab.token_prev] + prompt_past[b][-n_take:]
             pr = (pr + prompt_init)[:prompt_max]
             row_prompts.append(pr)
-            prompts[b, : len(pr)] = pr
             plens[b] = len(pr)
+        buckets = sorted({min(8, prompt_max), min(64, prompt_max), prompt_max})
+        bucket = next(bb for bb in buckets if plens.max() <= bb)
+        prompts = np.zeros((B, bucket), np.int32)
+        for b in range(B):
+            prompts[b, : len(row_prompts[b])] = row_prompts[b]
 
         # ---- decode attempts over the temperature ladder ------------------
         # each utterance owns K decoder rows per attempt: beam_size under
@@ -147,11 +151,10 @@ def run_full_batch(
                     strat = device_loop.BEAM
                     K = params.beam_search.beam_size
             K = max(1, K)
-            kv = KVCache.zeros(hp, B * K, ctx.dtype)
             t0 = time.perf_counter()
             res = batch_loop.decode_windows_batch(
                 ctx.params, hp, consts, ck, cv,
-                jnp.asarray(prompts), jnp.asarray(plens), kv,
+                jnp.asarray(prompts), jnp.asarray(plens),
                 jnp.float32(t_cur), jnp.asarray(seek), jnp.asarray(seek_end),
                 jnp.asarray(needy),
                 jax.random.PRNGKey(rng_seed + it),

@@ -67,7 +67,6 @@ def rows_per_utt(strategy: int, beam_size: int, best_of: int = 1) -> int:
     jax.jit,
     static_argnames=("hp", "tids", "n_utt", "n_per_utt", "strategy",
                      "max_tokens", "single_segment", "no_timestamps", "dtype"),
-    donate_argnames=("kv",),
 )
 def decode_windows_batch(
     params,
@@ -76,7 +75,6 @@ def decode_windows_batch(
     cross_k, cross_v,         # (L, U, H, Ta, Dh) — one encoder copy per utt
     prompts: jax.Array,       # (U, PROMPT_MAX) i32, right-padded per row
     prompt_len: jax.Array,    # (U,) i32
-    kv: KVCache,              # (L, B, H, Tmax, Dh), B = U * n_per_utt
     temperature: jax.Array,   # () f32
     seek: jax.Array,          # (U,) i32
     seek_end: jax.Array,      # (U,) i32
@@ -104,8 +102,9 @@ def decode_windows_batch(
 
     # ---- batched prompt pass: once per UTTERANCE, KV broadcast over its K
     # rows (the reference decodes the prompt on decoder 0 and kv_seq_cp's
-    # to the others, :7115-7154)
-    kv_u = KVCache(kv.k[:, :U], kv.v[:, :U])
+    # to the others, :7115-7154). KV created inside the jit — pure scratch,
+    # no H2D argument (see device_loop.decode_window)
+    kv_u = KVCache.zeros(hp, U, dtype)
     logits_p, kv_u, _ = model_mod.decoder_forward(
         params, hp, prompts, jnp.zeros(U, jnp.int32), kv_u, cross_k, cross_v,
         dtype, logit_rows=prompt_len - 1)
@@ -114,12 +113,12 @@ def decode_windows_batch(
     no_speech_prob = jax.nn.softmax(
         last_row.astype(jnp.float32), axis=-1)[:, tids.nosp]        # (U,)
 
-    L = kv.k.shape[0]
+    L = kv_u.k.shape[0]
     kv = KVCache(
         jnp.broadcast_to(kv_u.k[:, :, None], (L, U, K) + kv_u.k.shape[2:])
-           .reshape((L, B) + kv_u.k.shape[2:]).astype(kv.k.dtype),
+           .reshape((L, B) + kv_u.k.shape[2:]),
         jnp.broadcast_to(kv_u.v[:, :, None], (L, U, K) + kv_u.v.shape[2:])
-           .reshape((L, B) + kv_u.v.shape[2:]).astype(kv.v.dtype),
+           .reshape((L, B) + kv_u.v.shape[2:]),
     )
     logits0 = to_rows(last_row.astype(jnp.float32))                 # (B, V)
 

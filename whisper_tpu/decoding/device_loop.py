@@ -39,7 +39,10 @@ from whisper_tpu.models.whisper import KVCache
 
 NEG_INF = float("-inf")
 DELTA_MIN = 10           # 100 ms guard (reference :6847)
-HASH_MULT = jnp.uint32(1000003)
+# numpy (not jnp): a module-level jnp constant would initialize the XLA
+# backend at import, breaking jax.distributed.initialize in multi-host runs
+import numpy as _np
+HASH_MULT = _np.uint32(1000003)
 
 # sampling strategies (static)
 GREEDY_BEST = 0   # t == 0, argmax
@@ -146,10 +149,6 @@ class _LoopState(NamedTuple):
     jax.jit,
     static_argnames=("hp", "tids", "n_dec", "strategy", "beam_size", "max_tokens",
                      "single_segment", "no_timestamps", "dtype"),
-    # the caller's fresh KVCache buffer is dead after this call; donating it
-    # lets XLA alias the while-loop carry instead of allocating a second
-    # (L,B,H,Tmax,Dh) cache (large-v3 beam-5: ~0.8 GB of HBM saved)
-    donate_argnames=("kv",),
 )
 def decode_window(
     params,
@@ -158,7 +157,6 @@ def decode_window(
     cross_k, cross_v,        # (L, 1, H, Ta, Dh) — broadcast over decoders here
     prompt: jax.Array,       # (PROMPT_MAX,) i32, right-padded
     prompt_len: jax.Array,   # () i32
-    kv: KVCache,             # (L, B, H, Tmax, Dh)
     temperature: jax.Array,  # () f32
     seek: jax.Array,         # () i32
     seek_end: jax.Array,     # () i32
@@ -179,8 +177,11 @@ def decode_window(
 
     # ---- prompt pass (batch 1, then broadcast KV over decoders ----------
     # mirrors the reference decoding the prompt once on decoder 0 and
-    # kv_seq_cp'ing to the others (:7115-7154)
-    kv1 = KVCache(kv.k[:, :1], kv.v[:, :1])
+    # kv_seq_cp'ing to the others (:7115-7154). The KV cache is created
+    # INSIDE the jit: it's pure scratch for this window, so as a temp
+    # buffer XLA places it without an H2D argument transfer or donation
+    # (large-v3 beam-5: ~0.4 GB that never leaves the chip)
+    kv1 = KVCache.zeros(hp, 1, dtype)
     logits_p, kv1, _ = model_mod.decoder_forward(
         params, hp, prompt[None, :], jnp.int32(0), kv1, cross_k, cross_v, dtype,
         logit_rows=prompt_len - 1)
@@ -190,8 +191,8 @@ def decode_window(
     no_speech_prob = jax.nn.softmax(last_row[0].astype(jnp.float32))[tids.nosp]
 
     kv = KVCache(
-        jnp.broadcast_to(kv1.k, (kv.k.shape[0], B) + kv1.k.shape[2:]).astype(kv.k.dtype),
-        jnp.broadcast_to(kv1.v, (kv.v.shape[0], B) + kv1.v.shape[2:]).astype(kv.v.dtype),
+        jnp.broadcast_to(kv1.k, (kv1.k.shape[0], B) + kv1.k.shape[2:]),
+        jnp.broadcast_to(kv1.v, (kv1.v.shape[0], B) + kv1.v.shape[2:]),
     )
     logits0 = jnp.broadcast_to(last_row, (B, V)).astype(jnp.float32)
 

@@ -32,7 +32,10 @@ def init_distributed(
     On TPU pods, all three parameters auto-detect from the environment
     (leave None). For manual CPU/GPU bring-up, supply them. Returns a
     summary dict (process_index, process_count, device counts)."""
-    already = jax.process_count() > 1
+    # NB: probe initialization state WITHOUT jax.process_count() — that
+    # would initialize the XLA backend and make jax.distributed.initialize
+    # itself fail ("must be called before any JAX calls")
+    already = jax.distributed.is_initialized()
     if not already and (coordinator_address or num_processes or
                         os.environ.get("JAX_COORDINATOR_ADDRESS")):
         jax.distributed.initialize(
