@@ -81,9 +81,10 @@ static float *read_pcm(const char *path, long *n_out) {
 static int mode_full(int argc, char **argv) {
     const char *model = argv[2];
     const char *pcm_path = argv[3];
-    int beam = 0, max_tokens = 0, timestamps = 0, debug = 0;
+    int beam = 0, max_tokens = 0, timestamps = 0, debug = 0, translate = 0;
     const char *suppress_regex = NULL;
     const char *language = "en";
+    const char *initial_prompt = NULL;
     float temperature = 0.0f;
     for (int i = 4; i < argc; i++) {
         if (!strcmp(argv[i], "--beam")) beam = atoi(argv[++i]);
@@ -91,6 +92,8 @@ static int mode_full(int argc, char **argv) {
         else if (!strcmp(argv[i], "--suppress-regex")) suppress_regex = argv[++i];
         else if (!strcmp(argv[i], "--timestamps")) timestamps = 1;
         else if (!strcmp(argv[i], "--language")) language = argv[++i];
+        else if (!strcmp(argv[i], "--prompt")) initial_prompt = argv[++i];
+        else if (!strcmp(argv[i], "--translate")) translate = 1;
         else if (!strcmp(argv[i], "--temperature")) temperature = (float)atof(argv[++i]);
         else if (!strcmp(argv[i], "--debug")) debug = 1;
         else die("unknown flag");
@@ -111,6 +114,8 @@ static int mode_full(int argc, char **argv) {
     p.debug_mode = debug != 0;
     p.max_tokens = max_tokens;
     p.suppress_regex = suppress_regex;
+    p.initial_prompt = initial_prompt;
+    p.translate = translate != 0;
     p.temperature = temperature;
     /* decisive config: disable the fallback ladder + no-speech gating so a
      * single attempt's token stream is THE output (fallback decisions hinge
@@ -139,6 +144,13 @@ static int mode_full(int argc, char **argv) {
             printf(j ? ",%d" : "%d", whisper_full_get_token_id(ctx, i, j));
         }
         printf("\n");
+        if (getenv("REF_HARNESS_TOKEN_DATA")) {
+            for (int j = 0; j < nt; j++) {
+                whisper_token_data d = whisper_full_get_token_data(ctx, i, j);
+                printf("TOK %d tid=%d p=%.6f plog=%.6f pt=%.6f ptsum=%.6g\n",
+                       d.id, d.tid, d.p, d.plog, d.pt, d.ptsum);
+            }
+        }
     }
     whisper_free(ctx);
     free(pcm);

@@ -44,7 +44,9 @@ def ref_harness():
         pytest.skip(f"cannot build reference whisper.cpp: {e}")
 
 
-def _write_parity_model(path, sharp: bool):
+def _write_parity_model(path, sharp, n_vocab: int = 51864,
+                        n_text_layer: int = 2):
+    import dataclasses
     import sys
     sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
     from test_ggml_io import _make_test_tensors
@@ -53,16 +55,19 @@ def _write_parity_model(path, sharp: bool):
     # allocates 2-D weights with the hparams ftype and reads tensor data
     # raw, so per-tensor ttypes must match; f16->f32 dequant is exact on
     # both sides (ggml's f32 conv path aborts in this vendored build)
-    hp = tiny_test_hparams()
+    hp = dataclasses.replace(tiny_test_hparams(n_vocab=n_vocab),
+                             n_text_layer=n_text_layer)
     vocab = synthetic_vocab(hp.n_vocab)
     tensors = _make_test_tensors(hp, ttype=quant.GGML_TYPE_F16)
     if sharp:
-        # 60x the output embedding -> sharply separated logits, so BEAM
-        # cumulative-score ordering is identical across implementations
-        # despite f16-vs-f32 activation noise (beam sums are otherwise
-        # ulp-sensitive with near-uniform random logits)
+        # scale up the output embedding -> sharply separated logits, so
+        # argmax/beam ordering is identical across implementations despite
+        # f16-vs-f32 activation noise. 60x (beam tests) drives non-argmax
+        # softmax probs to exact-0 underflow; 8x (timestamp tests) keeps
+        # decisive gaps while timestamp probabilities stay nonzero
+        scale = 60.0 if sharp is True else float(sharp)
         arr, tt = tensors["decoder.token_embedding.weight"]
-        tensors["decoder.token_embedding.weight"] = (arr * 60.0, tt)
+        tensors["decoder.token_embedding.weight"] = (arr * scale, tt)
     ggml_io.write_ggml(
         str(path), hp, mel_mod.mel_filterbank(hp.n_mels),
         vocab.id_to_token[:50256], tensors)
@@ -80,6 +85,29 @@ def parity_model(tmp_path_factory):
 def parity_model_sharp(tmp_path_factory):
     return _write_parity_model(
         tmp_path_factory.mktemp("parity_sharp") / "model.bin", sharp=True)
+
+
+@pytest.fixture(scope="session")
+def parity_model_semi(tmp_path_factory):
+    """8x logits: decisive argmaxes, but timestamp probabilities do not
+    underflow to exact 0 (the x60 model zeroes every non-argmax prob,
+    which trips the reference's tid=0 quirk — see filters.timestamp_stats).
+    3 decoder layers: n_text_layer==2 && n_vocab!=51866 trips BOTH systems'
+    distil-whisper detection, which force-disables timestamps
+    (src/whisper.cpp:6954-6959)."""
+    return _write_parity_model(
+        tmp_path_factory.mktemp("parity_semi") / "model.bin", sharp=8.0,
+        n_text_layer=3)
+
+
+@pytest.fixture(scope="session")
+def parity_model_multi(tmp_path_factory):
+    """Multilingual variant (n_vocab=51865): exercises the special-token
+    shift (src/whisper.cpp:1643-1657), the 100 [_LANG_*] token synthesis,
+    and the [SOT, lang, task] prompt construction in both systems."""
+    return _write_parity_model(
+        tmp_path_factory.mktemp("parity_multi") / "model.bin", sharp=True,
+        n_vocab=51865)
 
 
 @pytest.fixture(scope="session")
@@ -177,15 +205,19 @@ DECISIVE_REGEX = "(?![ ]t).*"
 N_TOK = 8
 
 
-def _ours_full(parity_model, parity_audio, beam=0):
+def _ours_full(parity_model, parity_audio, beam=0, language="en",
+               timestamps=False, initial_prompt=None, translate=False,
+               suppress_regex=DECISIVE_REGEX):
     ctx = wt.WhisperContext.new_with_params(
         parity_model, ContextParams(dtype="float32"))
     p = FullParams.default(
         SamplingStrategy.BEAM_SEARCH if beam else SamplingStrategy.GREEDY)
-    p.language = "en"
-    p.no_timestamps = True
+    p.language = language
+    p.no_timestamps = not timestamps
     p.max_tokens = N_TOK
-    p.suppress_regex = DECISIVE_REGEX
+    p.suppress_regex = suppress_regex
+    p.initial_prompt = initial_prompt
+    p.translate = translate
     p.temperature = 0.0
     p.temperature_inc = 0.0          # decisive: no fallback ladder
     p.entropy_thold = -1e9
@@ -229,3 +261,66 @@ def test_full_token_parity(ref_harness, parity_model, parity_model_sharp,
     ref_tokens = [[t for t in ids if t < 50256] for ids in ref_tokens]
     assert our_tokens == ref_tokens, (
         f"segment token streams differ:\nref:  {ref_tokens}\nours: {our_tokens}")
+
+
+def _only_text(segs):
+    return [[t for t in ids if t < 50256] for _, _, ids in segs]
+
+
+def test_full_token_parity_multilingual(ref_harness, parity_model_multi,
+                                        parity_audio, tmp_path):
+    """Multilingual model, language zh + the translate task: exercises the
+    special-token shift and [SOT, lang, task] prompt against the reference
+    (src/whisper.cpp:1643-1690, :6940-6965)."""
+    pcm = tmp_path / "audio.f32"
+    parity_audio.tofile(pcm)
+    for extra in ([], ["--translate"]):
+        args = ["full", parity_model_multi, str(pcm),
+                "--max-tokens", str(N_TOK),
+                "--suppress-regex", DECISIVE_REGEX,
+                "--language", "zh", *extra]
+        ref = _only_text(_parse_segments(_run_ref(ref_harness, args,
+                                                  cwd=tmp_path)))
+        ours = _only_text(_ours_full(parity_model_multi, parity_audio,
+                                     language="zh",
+                                     translate=bool(extra)))
+        assert ours == ref, f"(translate={bool(extra)}) {ours} != {ref}"
+
+
+def test_full_token_parity_with_timestamps(ref_harness, parity_model_semi,
+                                           parity_audio, tmp_path):
+    """Timestamps ON: exercises the timestamp pairing rules, max_initial_ts,
+    the ts-vs-text logsumexp rule, and segment emission/seek_delta
+    (src/whisper.cpp:6262-6358, :7546-7675). Compares full token streams
+    INCLUDING timestamp tokens plus segment (t0, t1)."""
+    pcm = tmp_path / "audio.f32"
+    parity_audio.tofile(pcm)
+    # keep timestamp tokens ([_TT_*] in the synthesized vocab) sampleable —
+    # a regex suppressing ALL of them hits a documented deviation (see
+    # filters.timestamp_stats: the reference emits t0 = seek - 100726)
+    regex = "(?![ ]t|\\[_TT_).*"
+    args = ["full", parity_model_semi, str(pcm),
+            "--max-tokens", str(N_TOK),
+            "--suppress-regex", regex, "--timestamps"]
+    ref = _parse_segments(_run_ref(ref_harness, args, cwd=tmp_path))
+    ours = _ours_full(parity_model_semi, parity_audio, timestamps=True,
+                      suppress_regex=regex)
+    assert [(t0, t1) for t0, t1, _ in ours] == [(t0, t1) for t0, t1, _ in ref]
+    assert [ids for _, _, ids in ours] == [ids for _, _, ids in ref]
+
+
+def test_initial_prompt_parity(ref_harness, parity_model, parity_audio,
+                               tmp_path):
+    """initial_prompt: tokenized and prepended as [PREV]+past in both
+    systems (src/whisper.cpp:6906-6931, :7073-7085)."""
+    prompt = "ask not what your country can do for you"
+    pcm = tmp_path / "audio.f32"
+    parity_audio.tofile(pcm)
+    args = ["full", parity_model, str(pcm),
+            "--max-tokens", str(N_TOK),
+            "--suppress-regex", DECISIVE_REGEX, "--prompt", prompt]
+    ref = _only_text(_parse_segments(_run_ref(ref_harness, args,
+                                              cwd=tmp_path)))
+    ours = _only_text(_ours_full(parity_model, parity_audio,
+                                 initial_prompt=prompt))
+    assert ours == ref
