@@ -157,12 +157,51 @@ static int mode_full(int argc, char **argv) {
     return 0;
 }
 
+/* ref_harness vad <silero.bin> <pcm.f32>
+ *   stdout: "NPROBS <n>" + one prob per line, then "NVSEG <n>" +
+ *   "VSEG <t0> <t1>" per detected speech segment (default vad params).
+ *   Drives whisper_vad_detect_speech / _segments_from_probs
+ *   (src/whisper.cpp:4361-5480). */
+static int mode_vad(const char *model, const char *pcm_path) {
+    long n_samples = 0;
+    float *pcm = read_pcm(pcm_path, &n_samples);
+    struct whisper_vad_context_params cp = whisper_vad_default_context_params();
+    cp.use_gpu = false;
+    struct whisper_vad_context *vc =
+        whisper_vad_init_from_file_with_params(model, cp);
+    if (!vc) die("vad model load failed");
+    if (!whisper_vad_detect_speech(vc, pcm, (int)n_samples)) {
+        die("vad detect failed");
+    }
+    int np = whisper_vad_n_probs(vc);
+    const float *p = whisper_vad_probs(vc);
+    printf("NPROBS %d\n", np);
+    for (int i = 0; i < np; i++) printf("%.6f\n", p[i]);
+    struct whisper_vad_params vp = whisper_vad_default_params();
+    struct whisper_vad_segments *segs = whisper_vad_segments_from_probs(vc, vp);
+    int ns = whisper_vad_segments_n_segments(segs);
+    printf("NVSEG %d\n", ns);
+    for (int i = 0; i < ns; i++) {
+        printf("VSEG %.2f %.2f\n",
+               whisper_vad_segments_get_segment_t0(segs, i),
+               whisper_vad_segments_get_segment_t1(segs, i));
+    }
+    whisper_vad_free_segments(segs);
+    whisper_vad_free(vc);
+    free(pcm);
+    return 0;
+}
+
 int main(int argc, char **argv) {
-    if (argc < 3) die("usage: ref_harness tokenize|full <model.bin> ...");
+    if (argc < 3) die("usage: ref_harness tokenize|full|vad <model.bin> ...");
     if (!strcmp(argv[1], "tokenize")) return mode_tokenize(argv[2]);
     if (!strcmp(argv[1], "full")) {
         if (argc < 4) die("full needs <model.bin> <pcm.f32>");
         return mode_full(argc, argv);
+    }
+    if (!strcmp(argv[1], "vad")) {
+        if (argc < 4) die("vad needs <silero.bin> <pcm.f32>");
+        return mode_vad(argv[2], argv[3]);
     }
     die("unknown mode");
     return 1;

@@ -324,3 +324,40 @@ def test_initial_prompt_parity(ref_harness, parity_model, parity_audio,
     ours = _only_text(_ours_full(parity_model, parity_audio,
                                  initial_prompt=prompt))
     assert ours == ref
+
+
+def test_vad_parity(ref_harness, tmp_path):
+    """Silero-VAD differential parity: a random-weight silero ggml written
+    by our writer, loaded by BOTH systems; per-frame speech probabilities
+    (reference whisper_vad_detect_speech, src/whisper.cpp:4361-5200) must
+    agree to 1e-3, and the hysteresis segments (whisper_vad_segments_from_
+    probs, :5202-5435) must match at 10 ms resolution."""
+    from whisper_tpu.config import VadParams
+    from whisper_tpu.models import vad as vad_mod
+
+    model = vad_mod.random_vad_model()
+    model_path = tmp_path / "vad.bin"
+    vad_mod.write_vad_ggml(str(model_path), model)
+
+    rng = np.random.default_rng(11)
+    t = np.arange(32000, dtype=np.float32) / 16000.0
+    audio = (0.4 * np.sin(2 * np.pi * 300 * t) * (t < 1.0)
+             + 0.02 * rng.standard_normal(t.shape)).astype(np.float32)
+    pcm = tmp_path / "audio.f32"
+    audio.tofile(pcm)
+
+    out = _run_ref(ref_harness, ["vad", str(model_path), str(pcm)],
+                   cwd=tmp_path).splitlines()
+    n = int(out[0].split()[1])
+    ref_probs = np.array([float(x) for x in out[1:1 + n]])
+    ref_segs = [(float(l.split()[1]), float(l.split()[2]))
+                for l in out[1 + n:] if l.startswith("VSEG")]
+
+    ours = np.asarray(vad_mod.detect_speech(model, audio))
+    assert len(ours) == n, (len(ours), n)
+    assert np.abs(ours - ref_probs).max() < 1e-3
+
+    our_segs = vad_mod.segments_from_probs(
+        np.asarray(ours), VadParams(), n_window=model.hparams.n_window)
+    got = [(float(s.start), float(s.end)) for s in our_segs]  # centiseconds
+    assert got == ref_segs, (got, ref_segs)

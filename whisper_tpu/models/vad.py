@@ -90,8 +90,13 @@ def read_vad_ggml(path_or_file) -> VadModel:
             name = f.read(name_len).decode("utf-8")
             nelems = int(np.prod(ne))
             raw = f.read(quant.row_nbytes(ttype, nelems))
-            tensors[name] = quant.dequantize(raw, ttype, nelems).reshape(
+            arr = quant.dequantize(raw, ttype, nelems).reshape(
                 tuple(reversed(ne)))
+            if name == "_model.decoder.decoder.2.weight":
+                # stored squeezed ([final_conv_in] or [1, in]) per the
+                # reference converter; the forward pass wants (1, in, 1)
+                arr = arr.reshape(1, -1, 1)
+            tensors[name] = arr
         return VadModel(hp, tensors, model_type,
                         f"{major}.{minor}.{patch}")
     finally:
@@ -116,10 +121,27 @@ def write_vad_ggml(path, model: VadModel) -> None:
         f.write(struct.pack("<4i", hp.lstm_input_size, hp.lstm_hidden_size,
                             hp.final_conv_in, hp.final_conv_out))
         for name, arr in model.params.items():
-            arr = np.ascontiguousarray(arr, np.float32)
+            # conv weights (encoder reparam convs, final decoder conv, STFT
+            # basis) are stored f16, everything else f32 — whisper.cpp's
+            # VAD loader allocates with exactly these types and reads data
+            # raw (convert-silero-vad-to-ggml.py:147-154)
+            is_conv_w = ("weight" in name and (
+                "encoder" in name or "_model.decoder.decoder.2" in name)
+                ) or "stft" in name
+            if name == "_model.decoder.decoder.2.weight":
+                # whisper.cpp allocates this as [final_conv_in, 1] 2-D
+                # (src/whisper.cpp:4980-4983); the converter writes it
+                # squeezed — mirror that
+                arr = np.asarray(arr).reshape(1, -1)
+            if is_conv_w:
+                arr = np.ascontiguousarray(arr, np.float16)
+                ttype = quant.GGML_TYPE_F16
+            else:
+                arr = np.ascontiguousarray(arr, np.float32)
+                ttype = quant.GGML_TYPE_F32
             ne = tuple(reversed(arr.shape))
             nb = name.encode()
-            f.write(struct.pack("<3i", len(ne), len(nb), quant.GGML_TYPE_F32))
+            f.write(struct.pack("<3i", len(ne), len(nb), ttype))
             f.write(struct.pack(f"<{len(ne)}i", *ne))
             f.write(nb)
             f.write(arr.tobytes())
@@ -149,6 +171,15 @@ def random_vad_model(seed: int = 0) -> VadModel:
     imag = -np.sin(2 * np.pi * k * n / 256)
     basis = np.concatenate([real, imag], axis=0).astype(np.float32)  # (258, 256)
     p["_model.stft.forward_basis_buffer"] = basis.reshape(258, 1, 256)
+    # conv weights are stored f16 in the container (see write_vad_ggml);
+    # pre-round them so in-memory and written-then-loaded models are
+    # bit-identical (keeps roundtrip tests exact and differential-parity
+    # runs using the same values both sides)
+    for name in list(p):
+        if "weight" in name and ("encoder" in name
+                                 or "decoder.decoder.2" in name) \
+                or "stft" in name:
+            p[name] = p[name].astype(np.float16).astype(np.float32)
     return VadModel(hp, p)
 
 
