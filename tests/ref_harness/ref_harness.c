@@ -192,8 +192,29 @@ static int mode_vad(const char *model, const char *pcm_path) {
     return 0;
 }
 
+/* ref_harness lang <model.bin> <pcm.f32>
+ *   stdout: "LANG <id>" then "LPROB <id> <p>" for every language
+ *   (whisper_lang_auto_detect, src/whisper.cpp:4037-4110). */
+static int mode_lang(const char *model, const char *pcm_path) {
+    long n_samples = 0;
+    float *pcm = read_pcm(pcm_path, &n_samples);
+    struct whisper_context *ctx = load_model(model);
+    if (whisper_pcm_to_mel(ctx, pcm, (int)n_samples, 2) != 0) {
+        die("pcm_to_mel failed");
+    }
+    float probs[512] = {0};
+    int id = whisper_lang_auto_detect(ctx, 0, 2, probs);
+    if (id < 0) die("lang detect failed");
+    printf("LANG %d\n", id);
+    int n_lang = whisper_lang_max_id() + 1;
+    for (int i = 0; i < n_lang; i++) printf("LPROB %d %.6f\n", i, probs[i]);
+    whisper_free(ctx);
+    free(pcm);
+    return 0;
+}
+
 int main(int argc, char **argv) {
-    if (argc < 3) die("usage: ref_harness tokenize|full|vad <model.bin> ...");
+    if (argc < 3) die("usage: ref_harness tokenize|full|vad|lang <model.bin> ...");
     if (!strcmp(argv[1], "tokenize")) return mode_tokenize(argv[2]);
     if (!strcmp(argv[1], "full")) {
         if (argc < 4) die("full needs <model.bin> <pcm.f32>");
@@ -202,6 +223,10 @@ int main(int argc, char **argv) {
     if (!strcmp(argv[1], "vad")) {
         if (argc < 4) die("vad needs <silero.bin> <pcm.f32>");
         return mode_vad(argv[2], argv[3]);
+    }
+    if (!strcmp(argv[1], "lang")) {
+        if (argc < 4) die("lang needs <model.bin> <pcm.f32>");
+        return mode_lang(argv[2], argv[3]);
     }
     die("unknown mode");
     return 1;

@@ -361,3 +361,49 @@ def test_vad_parity(ref_harness, tmp_path):
         np.asarray(ours), VadParams(), n_window=model.hparams.n_window)
     got = [(float(s.start), float(s.end)) for s in our_segs]  # centiseconds
     assert got == ref_segs, (got, ref_segs)
+
+
+def test_lang_detect_parity(ref_harness, parity_model_multi, parity_audio,
+                            tmp_path):
+    """Language auto-detect (src/whisper.cpp:4037-4110): same winning
+    language id and the same softmax distribution over the 100 language
+    tokens (tolerance covers ggml-f16 vs XLA-f32 activation noise)."""
+    pcm = tmp_path / "audio.f32"
+    parity_audio.tofile(pcm)
+    out = _run_ref(ref_harness, ["lang", parity_model_multi, str(pcm)],
+                   cwd=tmp_path).splitlines()
+    ref_id = int(out[0].split()[1])
+    ref_probs = {int(l.split()[1]): float(l.split()[2])
+                 for l in out[1:] if l.startswith("LPROB")}
+
+    ctx = wt.WhisperContext.new_with_params(
+        parity_model_multi, ContextParams(dtype="float32"))
+    st = ctx.create_state()
+    st.pcm_to_mel(parity_audio)
+    lang_id, probs = st.lang_detect()
+    assert lang_id == ref_id
+    ours = np.asarray(probs)
+    for i, rp in ref_probs.items():
+        assert abs(float(ours[i]) - rp) < 2e-3, (i, float(ours[i]), rp)
+
+
+def test_quantized_model_parity(ref_harness, parity_model_sharp,
+                                parity_audio, tmp_path):
+    """Q5_0 end-to-end: OUR quantizer's output must load in the reference
+    binary (block-format fidelity: ggml-quants.c layouts) and produce the
+    same decisive greedy token stream. ggml computes q5_0 x q8_1 integer
+    dot products vs our dequant-to-f32 matmuls, so this only holds with
+    sharply separated logits."""
+    from whisper_tpu.tools.quantize import quantize_model
+
+    qpath = tmp_path / "model-q5_0.bin"
+    quantize_model(parity_model_sharp, str(qpath), "q5_0")
+
+    pcm = tmp_path / "audio.f32"
+    parity_audio.tofile(pcm)
+    args = ["full", str(qpath), str(pcm),
+            "--max-tokens", str(N_TOK), "--suppress-regex", DECISIVE_REGEX]
+    ref = _only_text(_parse_segments(_run_ref(ref_harness, args,
+                                              cwd=tmp_path)))
+    ours = _only_text(_ours_full(str(qpath), parity_audio))
+    assert ours == ref

@@ -32,12 +32,15 @@ def lang_auto_detect(state, offset_ms: int = 0) -> Tuple[int, np.ndarray]:
     logits, _ = state.decode([vocab.token_sot], pos0=0, kv=kv, batch=1)
     row = np.asarray(logits[0, -1], dtype=np.float64)
 
-    n_langs = vocab.num_languages
+    # the reference iterates the FULL 100-entry language table regardless
+    # of the model's num_languages (:4072-4076) — on a 99-language model
+    # the last entry reads the logit one past the language block (a
+    # reference quirk, reproduced for parity)
+    n_langs = languages.lang_max_id() + 1
     lang_token_ids = np.array([vocab.token_lang(i) for i in range(n_langs)])
     lang_logits = row[lang_token_ids]
     ex = np.exp(lang_logits - lang_logits.max())
-    probs_all = np.zeros(languages.lang_max_id() + 1, dtype=np.float32)
-    probs_all[:n_langs] = (ex / ex.sum()).astype(np.float32)
+    probs_all = (ex / ex.sum()).astype(np.float32)
 
     lang_id = int(np.argmax(lang_logits))
     state.lang_id = lang_id
