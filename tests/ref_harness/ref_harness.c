@@ -32,9 +32,16 @@ static void die(const char *msg) {
     exit(1);
 }
 
+static int g_dtw_n_top = 0;  /* >0: enable DTW aheads = N top-most layers */
+
 static struct whisper_context *load_model(const char *path) {
     struct whisper_context_params cparams = whisper_context_default_params();
     cparams.use_gpu = false;
+    if (g_dtw_n_top > 0) {
+        cparams.dtw_token_timestamps = true;
+        cparams.dtw_aheads_preset = WHISPER_AHEADS_N_TOP_MOST;
+        cparams.dtw_n_top = g_dtw_n_top;
+    }
     struct whisper_context *ctx =
         whisper_init_from_file_with_params(path, cparams);
     if (!ctx) die("failed to load model");
@@ -82,6 +89,7 @@ static int mode_full(int argc, char **argv) {
     const char *model = argv[2];
     const char *pcm_path = argv[3];
     int beam = 0, max_tokens = 0, timestamps = 0, debug = 0, translate = 0;
+    int token_timestamps = 0;
     const char *suppress_regex = NULL;
     const char *language = "en";
     const char *initial_prompt = NULL;
@@ -95,6 +103,8 @@ static int mode_full(int argc, char **argv) {
         else if (!strcmp(argv[i], "--prompt")) initial_prompt = argv[++i];
         else if (!strcmp(argv[i], "--translate")) translate = 1;
         else if (!strcmp(argv[i], "--temperature")) temperature = (float)atof(argv[++i]);
+        else if (!strcmp(argv[i], "--token-timestamps")) token_timestamps = 1;
+        else if (!strcmp(argv[i], "--dtw")) g_dtw_n_top = atoi(argv[++i]);
         else if (!strcmp(argv[i], "--debug")) debug = 1;
         else die("unknown flag");
     }
@@ -116,6 +126,7 @@ static int mode_full(int argc, char **argv) {
     p.suppress_regex = suppress_regex;
     p.initial_prompt = initial_prompt;
     p.translate = translate != 0;
+    p.token_timestamps = token_timestamps != 0;
     p.temperature = temperature;
     /* decisive config: disable the fallback ladder + no-speech gating so a
      * single attempt's token stream is THE output (fallback decisions hinge
@@ -147,8 +158,10 @@ static int mode_full(int argc, char **argv) {
         if (getenv("REF_HARNESS_TOKEN_DATA")) {
             for (int j = 0; j < nt; j++) {
                 whisper_token_data d = whisper_full_get_token_data(ctx, i, j);
-                printf("TOK %d tid=%d p=%.6f plog=%.6f pt=%.6f ptsum=%.6g\n",
-                       d.id, d.tid, d.p, d.plog, d.pt, d.ptsum);
+                printf("TOK %d tid=%d p=%.6f plog=%.6f pt=%.6f ptsum=%.6g "
+                       "t0=%lld t1=%lld t_dtw=%lld\n",
+                       d.id, d.tid, d.p, d.plog, d.pt, d.ptsum,
+                       (long long)d.t0, (long long)d.t1, (long long)d.t_dtw);
             }
         }
     }

@@ -407,3 +407,59 @@ def test_quantized_model_parity(ref_harness, parity_model_sharp,
                                               cwd=tmp_path)))
     ours = _only_text(_ours_full(str(qpath), parity_audio))
     assert ours == ref
+
+
+def test_token_timestamps_and_dtw_parity(ref_harness, parity_model_semi,
+                                         parity_audio, tmp_path):
+    """Per-token t0/t1 from the energy heuristic (reference
+    whisper_exp_compute_token_level_timestamps, src/whisper.cpp:8329-8615)
+    and DTW t_dtw (:8617-8933, aheads = 1 top-most layer) must match the
+    reference binary token-for-token."""
+    import re as _re
+
+    from whisper_tpu.config import AlignmentHeadsPreset, DtwParams
+
+    regex = "(?![ ]t|\\[_TT_).*"
+    pcm = tmp_path / "audio.f32"
+    parity_audio.tofile(pcm)
+    out = _run_ref(
+        ref_harness,
+        ["full", parity_model_semi, str(pcm), "--max-tokens", str(N_TOK),
+         "--suppress-regex", regex, "--timestamps", "--token-timestamps",
+         "--dtw", "1"],
+        cwd=tmp_path, env={"REF_HARNESS_TOKEN_DATA": "1"})
+    ref_toks = []
+    for line in out.splitlines():
+        if line.startswith("TOK "):
+            m = _re.search(r"TOK (-?\d+) .*t0=(-?\d+) t1=(-?\d+) t_dtw=(-?\d+)",
+                           line)
+            ref_toks.append(tuple(int(m.group(i)) for i in (1, 2, 3, 4)))
+    assert ref_toks, out
+
+    ctx = wt.WhisperContext.new_with_params(
+        parity_model_semi,
+        ContextParams(dtype="float32", dtw_token_timestamps=True,
+                      dtw=DtwParams(mode=AlignmentHeadsPreset.N_TOP_MOST,
+                                    n_top=1)))
+    p = FullParams.default(SamplingStrategy.GREEDY)
+    p.language = "en"
+    p.no_timestamps = False
+    p.token_timestamps = True
+    p.max_tokens = N_TOK
+    p.suppress_regex = regex
+    p.temperature_inc = 0.0
+    p.entropy_thold = -1e9
+    p.logprob_thold = -1e9
+    p.no_speech_thold = 1e9
+    p.print_progress = False
+    p.greedy.best_of = 1
+    st = ctx.create_state()
+    st.full(p, parity_audio)
+    our_toks = [(td.id, td.t0, td.t1, td.t_dtw)
+                for s in st.segments for td in s.tokens]
+
+    assert [t[0] for t in our_toks] == [t[0] for t in ref_toks]
+    for (oid, ot0, ot1, odtw), (rid, rt0, rt1, rdtw) in zip(our_toks, ref_toks):
+        assert abs(ot0 - rt0) <= 2 and abs(ot1 - rt1) <= 2, (
+            (oid, ot0, ot1), (rid, rt0, rt1))
+        assert abs(odtw - rdtw) <= 4, ((oid, odtw), (rid, rdtw))
