@@ -181,9 +181,50 @@ def largev3_beam5_compile_check() -> dict:
             "code_mb": round(m.generated_code_size_in_bytes / 2**20, 2),
         }
 
+    # quantized serving path: same beam-5 window program with int8-block
+    # weights resident in HBM + the Pallas dequant-in-kernel matmul
+    # (ops/quant_matmul.py) — proves the kernel compiles at large-v3 dims
+    def to_q(leaf_path, s):
+        return jax.ShapeDtypeStruct(s.shape, s.dtype)
+
+    def quantize_leaf(d):
+        """matmul-weight leaf {'w': (in,out)} -> {'q': int8, 'd': scales}"""
+        if not (isinstance(d, dict) and "w" in d):
+            return d
+        out_d = dict(d)
+        w = out_d.pop("w")
+        if len(w.shape) >= 2 and w.shape[-2] % 32 == 0 and w.shape[-1] >= 64:
+            out_d["q"] = jax.ShapeDtypeStruct(w.shape, jnp.int8)
+            out_d["d"] = jax.ShapeDtypeStruct(
+                w.shape[:-2] + (w.shape[-2] // 32, w.shape[-1]), jnp.float32)
+        else:
+            out_d["w"] = w
+        return out_d
+
+    def walk(tree):
+        if isinstance(tree, dict):
+            if "w" in tree:
+                return quantize_leaf(tree)
+            return {k: walk(v) for k, v in tree.items()}
+        return tree
+
+    q_params = walk(abs_params)
+    t0 = _t.perf_counter()
+    qdec = device_loop.decode_window.lower(
+        q_params, hp, consts, ck, ck,
+        jax.ShapeDtypeStruct((prompt_max,), i32),
+        jax.ShapeDtypeStruct((), i32),
+        jax.ShapeDtypeStruct((), f32),
+        jax.ShapeDtypeStruct((), i32), jax.ShapeDtypeStruct((), i32),
+        jax.ShapeDtypeStruct((2,), jnp.uint32),
+        tids=tids, n_dec=5, strategy=device_loop.BEAM, beam_size=5,
+        dtype=jnp.bfloat16).compile()
+    t_qdec = _t.perf_counter() - t0
+
     out = {
         "ok": True,
         "decode_window_beam5": {"compile_s": round(t_dec, 1), **mem(dec)},
+        "decode_window_beam5_q5": {"compile_s": round(t_qdec, 1), **mem(qdec)},
         "encoder": {"compile_s": round(t_enc, 1), "flash_attn": use_flash,
                     **mem(enc)},
     }

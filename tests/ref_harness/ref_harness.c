@@ -89,7 +89,7 @@ static int mode_full(int argc, char **argv) {
     const char *model = argv[2];
     const char *pcm_path = argv[3];
     int beam = 0, max_tokens = 0, timestamps = 0, debug = 0, translate = 0;
-    int token_timestamps = 0;
+    int token_timestamps = 0, n_processors = 1;
     const char *suppress_regex = NULL;
     const char *language = "en";
     const char *initial_prompt = NULL;
@@ -105,6 +105,7 @@ static int mode_full(int argc, char **argv) {
         else if (!strcmp(argv[i], "--temperature")) temperature = (float)atof(argv[++i]);
         else if (!strcmp(argv[i], "--token-timestamps")) token_timestamps = 1;
         else if (!strcmp(argv[i], "--dtw")) g_dtw_n_top = atoi(argv[++i]);
+        else if (!strcmp(argv[i], "--processors")) n_processors = atoi(argv[++i]);
         else if (!strcmp(argv[i], "--debug")) debug = 1;
         else die("unknown flag");
     }
@@ -142,7 +143,15 @@ static int mode_full(int argc, char **argv) {
         p.greedy.best_of = 1;
     }
 
-    if (whisper_full(ctx, p, pcm, (int)n_samples) != 0) die("whisper_full failed");
+    if (n_processors > 1) {
+        /* reference whisper_full_parallel (src/whisper.cpp:7736-7864) */
+        if (whisper_full_parallel(ctx, p, pcm, (int)n_samples,
+                                  n_processors) != 0) {
+            die("whisper_full_parallel failed");
+        }
+    } else if (whisper_full(ctx, p, pcm, (int)n_samples) != 0) {
+        die("whisper_full failed");
+    }
 
     int nseg = whisper_full_n_segments(ctx);
     printf("NSEG %d\n", nseg);

@@ -106,6 +106,10 @@ def run_full_batch(
                             ctx.cparams.flash_attn and ctx.exec_backend == "tpu")
         ck, cv = _cross_kv_jit(ctx.params, hp, embed)
         ck.block_until_ready()
+        # NOTE: batched phases are ONE device program covering all active
+        # rows; per-state "timings" get the wall clock divided evenly. Read
+        # them as amortized batch cost, not per-utterance truth — the
+        # whole-batch number is the product of total_s and the row count.
         for b in range(B):
             if active[b]:
                 states[b].timings.add("encode", (time.perf_counter() - t0) / max(1, active.sum()))
