@@ -503,3 +503,45 @@ def test_full_parallel_parity(ref_harness, parity_model, parity_audio,
     # quirk t0 (seek - 100726 cs — see filters.timestamp_stats deviation);
     # t1 carries the chunk-offset merge arithmetic, which must match
     assert [t1 for _, t1, _ in ours] == [t1 for _, t1, _ in ref]
+
+
+def test_multiwindow_context_parity(ref_harness, parity_model, tmp_path):
+    """Two 30 s windows with context carry-over (no_context=false): the
+    window loop (seek advance, :6986-7704), prompt_past accumulation
+    (:7560-7571) and the [PREV]+past prompt construction (:7073-7085) must
+    produce identical token streams across BOTH windows."""
+    rng = np.random.default_rng(7)
+    t = np.arange(int(35 * 16000), dtype=np.float32) / 16000.0
+    audio = (0.25 * np.sin(2 * np.pi * (180 + 60 * np.sin(0.2 * t)) * t)
+             + 0.05 * rng.standard_normal(t.shape)).astype(np.float32)
+    pcm = tmp_path / "audio35.f32"
+    audio.tofile(pcm)
+
+    # --keep-context (no_context=false): window 2's prompt becomes
+    # [PREV]+window-1 tokens in both systems
+    args = ["full", parity_model, str(pcm),
+            "--max-tokens", str(N_TOK), "--suppress-regex", DECISIVE_REGEX,
+            "--keep-context"]
+    ref = _only_text(_parse_segments(_run_ref(ref_harness, args,
+                                              cwd=tmp_path)))
+
+    ctx = wt.WhisperContext.new_with_params(
+        parity_model, ContextParams(dtype="float32"))
+    p = FullParams.default(SamplingStrategy.GREEDY)
+    p.language = "en"
+    p.no_timestamps = True
+    p.no_context = False
+    p.max_tokens = N_TOK
+    p.suppress_regex = DECISIVE_REGEX
+    p.temperature_inc = 0.0
+    p.entropy_thold = -1e9
+    p.logprob_thold = -1e9
+    p.no_speech_thold = 1e9
+    p.print_progress = False
+    p.greedy.best_of = 1
+    st = ctx.create_state()
+    st.full(p, audio)
+    ours = [[td.id for td in s.tokens if td.id < 50256] for s in st.segments]
+
+    assert len(ref) >= 2, f"expected >= 2 windows, ref={ref}"
+    assert ours == ref
