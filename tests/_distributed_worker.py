@@ -112,6 +112,26 @@ def main():
         np.testing.assert_array_equal(np.asarray(shard.data),
                                       ref.result_len[rows])
     assert checked >= U // n_procs, f"checked only {checked} rows"
+
+    # DP x TP across hosts: 2-way tensor parallel over the 'model' axis
+    # (Megatron specs from parallel/mesh.py; psum collectives cross the
+    # process boundary), 2-way data parallel. Structural equality only is
+    # asserted for tokens: TP reductions reorder sums, and on a random
+    # near-uniform model an ulp can flip an argmax — result_len/completion
+    # shapes still must match row counts.
+    from whisper_tpu.parallel import mesh as mesh_mod
+    mesh2 = mesh_mod.make_mesh(n_data=2, n_model=2)
+    tp_params = mesh_mod.shard_params(ctx.params, mesh2, tp=True)
+    saved = ctx.params
+    try:
+        ctx.params = tp_params
+        with mesh2:
+            got_tp = run(mesh=None)
+        assert got_tp.tokens.shape == ref.tokens.shape
+        assert int(got_tp.n_tokens) > 0
+    finally:
+        ctx.params = saved
+
     print(f"DIST_OK proc={proc_id} rows_checked={checked}", flush=True)
 
 
