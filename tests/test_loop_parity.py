@@ -10,7 +10,6 @@ import whisper_tpu as wt
 from whisper_tpu.checkpoint.init import tiny_test_hparams
 from whisper_tpu.config import ContextParams, FullParams
 from whisper_tpu.decoding import device_loop, filters, host_loop
-from whisper_tpu.models.whisper import KVCache
 
 
 def test_device_matches_host_greedy(jfk_like_audio):

@@ -28,7 +28,6 @@ from whisper_tpu.api import Segment, TokenData
 from whisper_tpu.config import CHUNK_SIZE, FullParams
 from whisper_tpu.decoding import batch_loop, device_loop, filters, scoring
 from whisper_tpu.decoding import segments as seg_mod
-from whisper_tpu.models.whisper import KVCache
 
 DELTA_MIN = 10
 

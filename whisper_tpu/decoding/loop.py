@@ -27,7 +27,6 @@ from whisper_tpu.config import (
 )
 from whisper_tpu.decoding import device_loop, filters, scoring, segments as seg_mod
 from whisper_tpu.decoding.language import lang_auto_detect
-from whisper_tpu.models.whisper import KVCache
 
 DELTA_MIN = 10  # 100 ms (reference :6847)
 
