@@ -28,18 +28,123 @@ from whisper_tpu.serving import writers
 
 class ServerState:
     def __init__(self, model_path: Optional[str] = None,
-                 cparams: Optional[ContextParams] = None):
+                 cparams: Optional[ContextParams] = None,
+                 batch_window_ms: int = 0, max_batch: int = 8):
         self.lock = threading.Lock()
         self.cparams = cparams or ContextParams()
         self.ctx: Optional[WhisperContext] = None
         self.model_path = model_path
         if model_path:
             self.ctx = WhisperContext.new_with_params(model_path, self.cparams)
+        self.dispatcher = (BatchingDispatcher(self, batch_window_ms, max_batch)
+                           if batch_window_ms > 0 else None)
 
     def load(self, path: str) -> None:
         with self.lock:
             self.ctx = WhisperContext.new_with_params(path, self.cparams)
             self.model_path = path
+
+
+def _params_key(p: FullParams) -> tuple:
+    """Decode-relevant fields that must match for requests to share one
+    batched decode (run_full_batch takes a single FullParams for all rows)."""
+    return (
+        p.strategy, p.language, p.translate, p.no_timestamps,
+        p.temperature, p.temperature_inc, p.max_tokens, p.max_len,
+        p.suppress_regex, p.initial_prompt, p.token_timestamps,
+        p.beam_search.beam_size, p.greedy.best_of, p.offset_ms,
+        p.duration_ms, p.split_on_word, p.suppress_blank, p.suppress_nst,
+        p.length_penalty, p.entropy_thold, p.logprob_thold,
+        p.no_speech_thold, p.n_max_text_ctx, p.no_context, p.audio_ctx,
+    )
+
+
+class _Request:
+    __slots__ = ("samples", "params", "done", "segments", "error")
+
+    def __init__(self, samples, params):
+        self.samples = samples
+        self.params = params
+        self.done = threading.Event()
+        self.segments = None
+        self.error: Optional[Exception] = None
+
+
+class BatchingDispatcher:
+    """Continuous request batching: concurrent /inference requests arriving
+    within `window_ms` coalesce into ONE ctx.full_batch call (one batched
+    encoder program + one batched on-device token loop for the whole
+    group — decoding/batch_full.py). The reference server handles one
+    request at a time under a mutex (server.cpp:569); on TPU, batching
+    concurrent utterances is where serving throughput comes from.
+
+    Requests with different decode params (or with VAD, which the batch
+    path does not preprocess) fall back to per-request full().
+
+    Determinism note: greedy decodes of identical audio are identical
+    across rows; if the temperature-fallback ladder escalates into
+    sampling, each row draws its own noise, so identical concurrent
+    requests may legitimately differ — same as the reference's per-decoder
+    rng (src/whisper.cpp:6897)."""
+
+    def __init__(self, server_state: "ServerState", window_ms: int,
+                 max_batch: int = 8):
+        self.state = server_state
+        self.window_s = window_ms / 1000.0
+        self.max_batch = max(1, max_batch)
+        self.cond = threading.Condition()
+        self.queue = []
+        # introspection (tests / metrics)
+        self.n_batches = 0
+        self.n_rows = 0
+        self.max_rows = 0
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    def submit(self, samples, params: FullParams):
+        req = _Request(samples, params)
+        with self.cond:
+            self.queue.append(req)
+            self.cond.notify()
+        req.done.wait()
+        if req.error is not None:
+            raise req.error
+        return req.segments
+
+    def _run(self):
+        import time as _time
+        while True:
+            with self.cond:
+                while not self.queue:
+                    self.cond.wait()
+            _time.sleep(self.window_s)      # batching window
+            with self.cond:
+                batch, self.queue = self.queue, []
+
+            groups: Dict[tuple, list] = {}
+            for r in batch:
+                groups.setdefault(_params_key(r.params), []).append(r)
+            for reqs in groups.values():
+                for i in range(0, len(reqs), self.max_batch):
+                    self._run_group(reqs[i : i + self.max_batch])
+
+    def _run_group(self, reqs):
+        try:
+            with self.state.lock:
+                ctx = self.state.ctx
+                results = ctx.full_batch(reqs[0].params,
+                                         [r.samples for r in reqs])
+            self.n_batches += 1
+            self.n_rows += len(reqs)
+            self.max_rows = max(self.max_rows, len(reqs))
+            for r, segs in zip(reqs, results):
+                r.segments = segs
+        except Exception as e:  # fail the whole group, not the server
+            for r in reqs:
+                r.error = e
+        finally:
+            for r in reqs:
+                r.done.set()
 
 
 def _parse_multipart(body: bytes, content_type: str) -> Dict[str, bytes]:
@@ -146,12 +251,16 @@ def make_handler(server_state: ServerState):
                 params = _params_from_fields(fields)
                 fmt = fields.get("response_format", b"json").decode()
 
-                with server_state.lock:
-                    ctx = server_state.ctx
-                    state = ctx.create_state()
-                    if state.full(params, samples) != 0:
-                        raise RuntimeError("transcription failed")
-                    segments = state.segments
+                if server_state.dispatcher is not None and not params.vad:
+                    # continuous batching: coalesce with concurrent requests
+                    segments = server_state.dispatcher.submit(samples, params)
+                else:
+                    with server_state.lock:
+                        ctx = server_state.ctx
+                        state = ctx.create_state()
+                        if state.full(params, samples) != 0:
+                            raise RuntimeError("transcription failed")
+                        segments = state.segments
 
                 if fmt == "text":
                     self._send(200, "".join(s.text for s in segments) + "\n",
@@ -187,9 +296,11 @@ def make_handler(server_state: ServerState):
 
 
 def serve(model_path: Optional[str], host: str = "127.0.0.1", port: int = 8080,
-          cparams: Optional[ContextParams] = None) -> ThreadingHTTPServer:
-    """Create (and return) the server; caller runs serve_forever()."""
-    state = ServerState(model_path, cparams)
+          cparams: Optional[ContextParams] = None,
+          batch_window_ms: int = 0, max_batch: int = 8) -> ThreadingHTTPServer:
+    """Create (and return) the server; caller runs serve_forever().
+    batch_window_ms > 0 enables continuous request batching."""
+    state = ServerState(model_path, cparams, batch_window_ms, max_batch)
     httpd = ThreadingHTTPServer((host, port), make_handler(state))
     httpd.whisper_state = state  # for tests / hot-swap introspection
     return httpd
@@ -201,8 +312,14 @@ def main(argv=None) -> int:
     ap.add_argument("-m", "--model", required=True)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--batch-window-ms", type=int, default=0,
+                    help="coalesce concurrent requests arriving within this "
+                         "window into one batched decode (0 = off)")
+    ap.add_argument("--max-batch", type=int, default=8)
     args = ap.parse_args(argv)
-    httpd = serve(args.model, args.host, args.port)
+    httpd = serve(args.model, args.host, args.port,
+                  batch_window_ms=args.batch_window_ms,
+                  max_batch=args.max_batch)
     print(f"whisper-tpu server listening on http://{args.host}:{args.port}")
     httpd.serve_forever()
     return 0
