@@ -346,6 +346,29 @@ def main():
     t_bch5 = slope_time(make_dec(5), (params, kv5, tok5), n1=32, n2=256)
     log(f"bch5: {t_bch5*1e3:.3f} ms/step")
 
+    # --- PP: prompt processing, ms/token over a 64-token chunk -------------
+    # (the reference's PP column: batched multi-token decode; last-row-only
+    # logits like the shipped prompt pass)
+    PP_LEN = 64
+    prompt64 = jnp.zeros((1, PP_LEN), jnp.int32)
+
+    def make_pp(n):
+        def f(params, kv, toks):
+            def body(i, carry):
+                toks, kv = carry
+                logits, kv, _ = model_mod.decoder_forward(
+                    params, hp, toks, jnp.int32(0), kv, ck0, cv0, dtype,
+                    logit_rows=PP_LEN - 1)
+                toks = jnp.where(logits[0, 0, 0] > 1e30, toks + 1, toks)
+                return (toks, kv)
+            toks, kv = jax.lax.fori_loop(0, n, body, (toks, kv))
+            return toks
+        return f
+
+    t_pp = slope_time(make_pp, (params, KVCache.zeros(hp, 1, dtype), prompt64),
+                      n1=4, n2=36) / PP_LEN
+    log(f"pp: {t_pp*1e3:.4f} ms/token")
+
     rtf = 30.0 / (t_mel + t_enc + t_cross + N_TOK * t_dec)
     baseline = BASELINE_RTF.get(PRESET, 1.0)
     log(f"RTF (audio-s/s/chip): {rtf:.1f}  baseline({PRESET} GPU): {baseline}"

@@ -23,7 +23,7 @@ def run_one(preset: str, timeout: int = 900) -> dict:
         env=env, capture_output=True, text=True, timeout=timeout)
     out = {"preset": preset}
     for line in proc.stderr.splitlines():
-        m = re.match(r"(mel|encode|cross-kv|decode|bch5): ([0-9.]+) ms", line)
+        m = re.match(r"(mel|encode|cross-kv|decode|bch5|pp): ([0-9.]+) ms", line)
         if m:
             out[m.group(1)] = float(m.group(2))
     for line in proc.stdout.splitlines():
@@ -49,12 +49,13 @@ def main(argv=None) -> int:
             rows.append({"preset": p, "error": "timeout"})
 
     print(f"{'model':>16} | {'Enc. ms':>8} | {'Dec. ms':>8} | {'Bch5 ms':>8} | "
-          f"{'Mel ms':>8} | {'RTF':>8}")
-    print("-" * 72)
+          f"{'PP ms':>8} | {'Mel ms':>8} | {'RTF':>8}")
+    print("-" * 84)
     for r in rows:
         print(f"{r['preset']:>16} | {r.get('encode', float('nan')):8.2f} | "
               f"{r.get('decode', float('nan')):8.3f} | "
               f"{r.get('bch5', float('nan')):8.3f} | "
+              f"{r.get('pp', float('nan')):8.4f} | "
               f"{r.get('mel', float('nan')):8.2f} | "
               f"{r.get('value', float('nan')):8.1f}"
               + ("  [UNRELIABLE]" if r.get("timing_unreliable") else ""))
