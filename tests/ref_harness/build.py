@@ -126,11 +126,12 @@ def build_reference(timeout_s: int = 900) -> Path:
         subprocess.run(
             ["cmake", "-S", str(TREE), "-B", str(BUILD), *gen,
              "-DCMAKE_BUILD_TYPE=Release",
-             "-DWHISPER_BUILD_TESTS=OFF", "-DWHISPER_BUILD_EXAMPLES=OFF",
+             "-DWHISPER_BUILD_TESTS=OFF", "-DWHISPER_BUILD_EXAMPLES=ON",
              "-DGGML_NATIVE=ON"],
             check=True, capture_output=True, timeout=timeout_s)
         subprocess.run(
-            ["cmake", "--build", str(BUILD), "--target", "whisper"],
+            ["cmake", "--build", str(BUILD), "--target", "whisper",
+             "--target", "whisper-cli"],
             check=True, capture_output=True, timeout=timeout_s)
 
     # harness: plain C against the public header, rpath into the build tree
@@ -146,3 +147,21 @@ def build_reference(timeout_s: int = 900) -> Path:
         old.unlink()
     marker.write_text("ok")
     return HARNESS_BIN
+
+
+def reference_cli(timeout_s: int = 900) -> Path:
+    """Path to the reference whisper-cli binary (examples/cli/cli.cpp),
+    building the tree if needed — used for output-writer format parity."""
+    cli = BUILD / "bin" / "whisper-cli"
+    if cli.exists():
+        return cli
+    build_reference(timeout_s)
+    if not cli.exists():  # tree predates EXAMPLES=ON: build the target
+        subprocess.run(
+            ["cmake", "-S", str(TREE), "-B", str(BUILD),
+             "-DWHISPER_BUILD_EXAMPLES=ON"],
+            check=True, capture_output=True, timeout=timeout_s)
+        subprocess.run(
+            ["cmake", "--build", str(BUILD), "--target", "whisper-cli"],
+            check=True, capture_output=True, timeout=timeout_s)
+    return cli

@@ -545,3 +545,46 @@ def test_multiwindow_context_parity(ref_harness, parity_model, tmp_path):
 
     assert len(ref) >= 2, f"expected >= 2 windows, ref={ref}"
     assert ours == ref
+
+
+def test_cli_writers_parity(parity_model_semi, parity_audio, tmp_path):
+    """Output-writer FORMAT parity: feed the reference whisper-cli's own
+    segments (parsed from its CSV, which stores raw milliseconds) through
+    OUR writers and require byte-identical srt/vtt/csv renderings
+    (writers: examples/cli/cli.cpp output_srt/vtt/csv). Decode-token
+    parity is covered separately — random-weight timestamp argmax is not
+    decisive across audio decoders, so this test isolates formatting."""
+    from tests.ref_harness.build import reference_cli
+    try:
+        cli_bin = str(reference_cli())
+    except Exception as e:
+        pytest.skip(f"cannot build reference whisper-cli: {e}")
+
+    from whisper_tpu.audio.io import write_wav
+    wav = tmp_path / "a.wav"
+    write_wav(str(wav), parity_audio)
+
+    regex = "(?![ ]t|\\[_TT_).*"
+    res = subprocess.run(
+        [cli_bin, "-m", parity_model_semi, "-f", str(wav),
+         "-osrt", "-ovtt", "-ocsv", "-of", str(tmp_path / "ref"),
+         "-bo", "1", "-nf", "--suppress-regex", regex, "-np"],
+        capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stderr[-1500:]
+
+    # rebuild the reference's segments from its CSV (ms, ms, "text")
+    import csv as _csv
+
+    from whisper_tpu.api import Segment
+    rows = list(_csv.reader((tmp_path / "ref.csv").read_text().splitlines()))
+    assert rows[0][:2] == ["start", "end"]
+    segments = [Segment(t0=int(r[0]) // 10, t1=int(r[1]) // 10, text=r[2])
+                for r in rows[1:]]
+    assert segments, "reference produced no segments"
+
+    from whisper_tpu.serving import writers
+    for ext in ("srt", "vtt", "csv"):
+        ref_txt = (tmp_path / f"ref.{ext}").read_text()
+        our_txt = writers.render(ext, segments)
+        assert our_txt.strip("\n") == ref_txt.strip("\n"), (
+            f".{ext} render differs:\nref:  {ref_txt!r}\nours: {our_txt!r}")
