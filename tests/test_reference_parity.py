@@ -387,17 +387,19 @@ def test_lang_detect_parity(ref_harness, parity_model_multi, parity_audio,
         assert abs(float(ours[i]) - rp) < 2e-3, (i, float(ours[i]), rp)
 
 
+@pytest.mark.parametrize("qtype", ["q4_0", "q4_1", "q5_0", "q5_1", "q8_0"])
 def test_quantized_model_parity(ref_harness, parity_model_sharp,
-                                parity_audio, tmp_path):
-    """Q5_0 end-to-end: OUR quantizer's output must load in the reference
-    binary (block-format fidelity: ggml-quants.c layouts) and produce the
-    same decisive greedy token stream. ggml computes q5_0 x q8_1 integer
-    dot products vs our dequant-to-f32 matmuls, so this only holds with
-    sharply separated logits."""
+                                parity_audio, tmp_path, qtype):
+    """Quantized end-to-end for every block codec: OUR quantizer's output
+    must load in the reference binary (block-format fidelity:
+    ggml-quants.c layouts) and produce the same decisive greedy token
+    stream. ggml computes quantized x q8 integer dot products vs our
+    dequant-to-f32 matmuls, so this only holds with sharply separated
+    logits."""
     from whisper_tpu.tools.quantize import quantize_model
 
-    qpath = tmp_path / "model-q5_0.bin"
-    quantize_model(parity_model_sharp, str(qpath), "q5_0")
+    qpath = tmp_path / f"model-{qtype}.bin"
+    quantize_model(parity_model_sharp, str(qpath), qtype)
 
     pcm = tmp_path / "audio.f32"
     parity_audio.tofile(pcm)
