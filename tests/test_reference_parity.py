@@ -590,3 +590,45 @@ def test_cli_writers_parity(parity_model_semi, parity_audio, tmp_path):
         our_txt = writers.render(ext, segments)
         assert our_txt.strip("\n") == ref_txt.strip("\n"), (
             f".{ext} render differs:\nref:  {ref_txt!r}\nours: {our_txt!r}")
+
+
+def test_hf_converter_output_loads_in_reference(ref_harness, parity_audio,
+                                                tmp_path):
+    """User onboarding path: a HuggingFace Whisper converted by OUR
+    convert_hf must load in the reference binary and transcribe — i.e. the
+    converter emits the exact container format whisper.cpp expects
+    (counterpart of models/convert-h5-to-ggml.py)."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    from transformers import WhisperConfig, WhisperForConditionalGeneration
+
+    from whisper_tpu.checkpoint import convert_hf
+
+    torch.manual_seed(0)
+    cfg = WhisperConfig(
+        vocab_size=51865, num_mel_bins=80, d_model=64,
+        encoder_layers=2, encoder_attention_heads=2,
+        decoder_layers=2, decoder_attention_heads=2,
+        encoder_ffn_dim=256, decoder_ffn_dim=256,
+        max_source_positions=1500, max_target_positions=448,
+    )
+    hf = WhisperForConditionalGeneration(cfg).eval()
+    path = str(tmp_path / "converted.bin")
+    convert_hf.convert_hf_to_ggml(hf, path, ftype=1)
+
+    pcm = tmp_path / "audio.f32"
+    parity_audio.tofile(pcm)
+    out = _run_ref(ref_harness,
+                   ["full", path, str(pcm), "--max-tokens", "4",
+                    "--language", "en"],
+                   cwd=tmp_path)
+    assert "NSEG" in out  # loaded + ran end-to-end in the reference
+
+    # and the decisive token streams match between the two systems
+    regex = DECISIVE_REGEX
+    args = ["full", path, str(pcm), "--max-tokens", str(N_TOK),
+            "--suppress-regex", regex, "--language", "en"]
+    ref = _only_text(_parse_segments(_run_ref(ref_harness, args,
+                                              cwd=tmp_path)))
+    ours = _only_text(_ours_full(path, parity_audio, language="en"))
+    assert ours == ref

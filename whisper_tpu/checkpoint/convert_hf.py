@@ -112,10 +112,12 @@ def convert_hf_to_ggml(
             continue
         arr = tensor.detach().cpu().numpy().astype(np.float32)
         if name in ("encoder.conv1.bias", "encoder.conv2.bias"):
-            # the reference stores conv biases as [n, 1] (ggml ne=[1,n]);
-            # whisper.cpp's loader shape-check rejects plain [n]
-            # (convert-pt-to-ggml.py:299-301)
+            # the reference stores conv biases as [n, 1] (ggml ne=[1,n]) AND
+            # as f32; whisper.cpp's loader shape/type-checks reject plain
+            # [n] or f16 (convert-pt-to-ggml.py:299-313)
             arr = arr.reshape(arr.shape[0], 1)
+            tensors[name] = (arr, quant.GGML_TYPE_F32)
+            continue
         if arr.ndim == 1:
             ttype = quant.GGML_TYPE_F32
         elif name.endswith("conv1.weight") or name.endswith("conv2.weight"):
