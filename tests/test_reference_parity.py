@@ -632,3 +632,54 @@ def test_hf_converter_output_loads_in_reference(ref_harness, parity_audio,
                                               cwd=tmp_path)))
     ours = _only_text(_ours_full(path, parity_audio, language="en"))
     assert ours == ref
+
+
+def test_diarization_parity(parity_model_semi, tmp_path):
+    """Stereo-energy diarization (reference cli.cpp estimate_diarization_
+    speaker): our speaker labels for the reference CLI's own segments must
+    match its CSV speaker column."""
+    import csv as _csv
+    import wave
+
+    from tests.ref_harness.build import reference_cli
+    try:
+        cli_bin = str(reference_cli())
+    except Exception as e:
+        pytest.skip(f"cannot build reference whisper-cli: {e}")
+
+    # stereo: left-channel speech first half, right-channel second half
+    rng = np.random.default_rng(5)
+    t = np.arange(int(4 * 16000), dtype=np.float32) / 16000.0
+    sig = (0.3 * np.sin(2 * np.pi * 250 * t)
+           + 0.03 * rng.standard_normal(t.shape)).astype(np.float32)
+    left = np.where(t < 2.0, sig, 0.01 * sig)
+    right = np.where(t >= 2.0, sig, 0.01 * sig)
+    inter = np.empty(2 * len(t), np.int16)
+    inter[0::2] = (left * 32767).astype(np.int16)
+    inter[1::2] = (right * 32767).astype(np.int16)
+    wav = tmp_path / "stereo.wav"
+    with wave.open(str(wav), "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(inter.tobytes())
+
+    regex = "(?![ ]t|\\[_TT_).*"
+    res = subprocess.run(
+        [cli_bin, "-m", parity_model_semi, "-f", str(wav),
+         "-di", "-ocsv", "-of", str(tmp_path / "ref"),
+         "-bo", "1", "-nf", "--suppress-regex", regex, "-np"],
+        capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stderr[-1500:]
+
+    rows = list(_csv.reader((tmp_path / "ref.csv").read_text().splitlines()))
+    assert rows[0][:3] == ["start", "end", "speaker"]
+    assert len(rows) > 1, "reference produced no segments"
+
+    from whisper_tpu.serving.writers import estimate_diarization_speaker
+    pcm = np.stack([(inter[0::2].astype(np.float32)) / 32768.0,
+                    (inter[1::2].astype(np.float32)) / 32768.0])
+    for r in rows[1:]:
+        t0_cs, t1_cs, ref_speaker = int(r[0]) // 10, int(r[1]) // 10, r[2]
+        ours = estimate_diarization_speaker(pcm, t0_cs, t1_cs, id_only=True)
+        assert ours == ref_speaker, (r, ours)

@@ -151,19 +151,34 @@ class WhisperContext:
             self._cpu_twin = twin
         return twin
 
-    def warmup(self, params: Optional[FullParams] = None) -> None:
+    def warmup(self, params: Optional[FullParams] = None,
+               all_prompt_buckets: bool = True) -> None:
         """Pre-compile the mel/encoder/cross/decode-window programs so the
         first real request pays no compile latency — the XLA analogue of
         whisper_init_state's worst-case graph pre-reservation
         (src/whisper.cpp:3488-3558). Runs a throwaway full() on 30 s of
         silence with the given decode params (jit caches are shared
-        module-wide, keyed by shapes + static config)."""
-        p = dataclasses.replace(params) if params is not None else FullParams.default()
-        p.print_progress = False
-        p.progress_callback = None
-        p.new_segment_callback = None
-        st = self.create_state()
-        st.full(p, np.zeros(30 * cfg.SAMPLE_RATE, np.float32))
+        module-wide, keyed by shapes + static config).
+
+        Prompts are padded to {8, 64, n_text_ctx/2+8} buckets (see
+        decoding/loop.py prompt_bucket); with all_prompt_buckets the larger
+        two are warmed too via synthetic initial prompts, so cross-window
+        context carry never hits a first-compile stall mid-request."""
+        base = dataclasses.replace(params) if params is not None else FullParams.default()
+        base.print_progress = False
+        base.progress_callback = None
+        base.new_segment_callback = None
+        silence = np.zeros(30 * cfg.SAMPLE_RATE, np.float32)
+
+        prompt_lens = [0]
+        if all_prompt_buckets:
+            pm = self.hparams.n_text_ctx // 2 + 8
+            prompt_lens += [min(32, pm - 8), pm - 8]
+        for n in prompt_lens:
+            p = dataclasses.replace(base)
+            p.prompt_tokens = list(range(1, n + 1)) if n else None
+            st = self.create_state()
+            st.full(p, silence)
 
     def full_batch(self, params: FullParams, audios, mesh=None):
         """Transcribe many utterances concurrently (continuous batching —
