@@ -90,6 +90,7 @@ static int mode_full(int argc, char **argv) {
     const char *pcm_path = argv[3];
     int beam = 0, max_tokens = 0, timestamps = 0, debug = 0, translate = 0;
     int token_timestamps = 0, n_processors = 1, keep_context = 0;
+    int suppress_nst = 0;
     const char *suppress_regex = NULL;
     const char *language = "en";
     const char *initial_prompt = NULL;
@@ -107,6 +108,7 @@ static int mode_full(int argc, char **argv) {
         else if (!strcmp(argv[i], "--dtw")) g_dtw_n_top = atoi(argv[++i]);
         else if (!strcmp(argv[i], "--processors")) n_processors = atoi(argv[++i]);
         else if (!strcmp(argv[i], "--keep-context")) keep_context = 1;
+        else if (!strcmp(argv[i], "--suppress-nst")) suppress_nst = 1;
         else if (!strcmp(argv[i], "--debug")) debug = 1;
         else die("unknown flag");
     }
@@ -130,6 +132,7 @@ static int mode_full(int argc, char **argv) {
     p.translate = translate != 0;
     p.token_timestamps = token_timestamps != 0;
     if (keep_context) p.no_context = false;
+    p.suppress_nst = suppress_nst != 0;
     p.temperature = temperature;
     /* decisive config: disable the fallback ladder + no-speech gating so a
      * single attempt's token stream is THE output (fallback decisions hinge

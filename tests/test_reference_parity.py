@@ -683,3 +683,41 @@ def test_diarization_parity(parity_model_semi, tmp_path):
         t0_cs, t1_cs, ref_speaker = int(r[0]) // 10, int(r[1]) // 10, r[2]
         ours = estimate_diarization_speaker(pcm, t0_cs, t1_cs, id_only=True)
         assert ours == ref_speaker, (r, ours)
+
+
+def test_suppress_nst_parity(ref_harness, parity_model, parity_audio,
+                             tmp_path):
+    """suppress_nst (the 100-entry non-speech token list with its
+    bare/space-prefixed lookup rules, src/whisper.cpp:6102-6107 +
+    :6241-6259): with punctuation otherwise dominant, enabling the flag
+    must flip both systems to the same non-punctuation stream."""
+    pcm = tmp_path / "audio.f32"
+    parity_audio.tofile(pcm)
+    # allow only "!", ".", " the" (and byte tokens shadowed per token_to_id)
+    regex = "(?![!.]|[ ]th).*"
+    for nst in (False, True):
+        args = ["full", parity_model, str(pcm),
+                "--max-tokens", str(N_TOK), "--suppress-regex", regex]
+        if nst:
+            args.append("--suppress-nst")
+        ref = _only_text(_parse_segments(_run_ref(ref_harness, args,
+                                                  cwd=tmp_path)))
+        ctx = wt.WhisperContext.new_with_params(
+            parity_model, ContextParams(dtype="float32"))
+        p = FullParams.default(SamplingStrategy.GREEDY)
+        p.language = "en"
+        p.no_timestamps = True
+        p.max_tokens = N_TOK
+        p.suppress_regex = regex
+        p.suppress_nst = nst
+        p.temperature_inc = 0.0
+        p.entropy_thold = -1e9
+        p.logprob_thold = -1e9
+        p.no_speech_thold = 1e9
+        p.print_progress = False
+        p.greedy.best_of = 1
+        st = ctx.create_state()
+        st.full(p, parity_audio)
+        ours = [[td.id for td in s.tokens if td.id < 50256]
+                for s in st.segments]
+        assert ours == ref, f"(suppress_nst={nst}) {ours} != {ref}"
