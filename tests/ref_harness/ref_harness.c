@@ -90,7 +90,8 @@ static int mode_full(int argc, char **argv) {
     const char *pcm_path = argv[3];
     int beam = 0, max_tokens = 0, timestamps = 0, debug = 0, translate = 0;
     int token_timestamps = 0, n_processors = 1, keep_context = 0;
-    int suppress_nst = 0;
+    int suppress_nst = 0, max_len = 0, split_on_word = 0;
+    const char *vad_model = NULL;
     const char *suppress_regex = NULL;
     const char *language = "en";
     const char *initial_prompt = NULL;
@@ -109,6 +110,9 @@ static int mode_full(int argc, char **argv) {
         else if (!strcmp(argv[i], "--processors")) n_processors = atoi(argv[++i]);
         else if (!strcmp(argv[i], "--keep-context")) keep_context = 1;
         else if (!strcmp(argv[i], "--suppress-nst")) suppress_nst = 1;
+        else if (!strcmp(argv[i], "--max-len")) max_len = atoi(argv[++i]);
+        else if (!strcmp(argv[i], "--split-on-word")) split_on_word = 1;
+        else if (!strcmp(argv[i], "--vad")) vad_model = argv[++i];
         else if (!strcmp(argv[i], "--debug")) debug = 1;
         else die("unknown flag");
     }
@@ -133,6 +137,12 @@ static int mode_full(int argc, char **argv) {
     p.token_timestamps = token_timestamps != 0;
     if (keep_context) p.no_context = false;
     p.suppress_nst = suppress_nst != 0;
+    p.max_len = max_len;
+    p.split_on_word = split_on_word != 0;
+    if (vad_model) {
+        p.vad = true;
+        p.vad_model_path = vad_model;
+    }
     p.temperature = temperature;
     /* decisive config: disable the fallback ladder + no-speech gating so a
      * single attempt's token stream is THE output (fallback decisions hinge

@@ -721,3 +721,84 @@ def test_suppress_nst_parity(ref_harness, parity_model, parity_audio,
         ours = [[td.id for td in s.tokens if td.id < 50256]
                 for s in st.segments]
         assert ours == ref, f"(suppress_nst={nst}) {ours} != {ref}"
+
+
+def _decisive_ts_params(regex, **kw):
+    p = FullParams.default(SamplingStrategy.GREEDY)
+    p.language = "en"
+    p.no_timestamps = False
+    p.max_tokens = N_TOK
+    p.suppress_regex = regex
+    p.temperature_inc = 0.0
+    p.entropy_thold = -1e9
+    p.logprob_thold = -1e9
+    p.no_speech_thold = 1e9
+    p.print_progress = False
+    p.greedy.best_of = 1
+    for k, v in kw.items():
+        setattr(p, k, v)
+    return p
+
+
+def test_segment_wrap_parity(ref_harness, parity_model_semi, parity_audio,
+                             tmp_path):
+    """max_len segment wrapping (+ split_on_word) on top of token
+    timestamps (reference whisper_wrap_segment, src/whisper.cpp:6030-6100):
+    identical wrapped sub-segment streams and boundaries."""
+    pcm = tmp_path / "audio.f32"
+    parity_audio.tofile(pcm)
+    regex = "(?![ ]t|\\[_TT_).*"
+    for split in (False, True):
+        args = ["full", parity_model_semi, str(pcm),
+                "--max-tokens", str(N_TOK), "--suppress-regex", regex,
+                "--timestamps", "--token-timestamps", "--max-len", "6"]
+        if split:
+            args.append("--split-on-word")
+        ref = _parse_segments(_run_ref(ref_harness, args, cwd=tmp_path))
+
+        ctx = wt.WhisperContext.new_with_params(
+            parity_model_semi, ContextParams(dtype="float32"))
+        p = _decisive_ts_params(regex, token_timestamps=True, max_len=6,
+                                split_on_word=split)
+        st = ctx.create_state()
+        st.full(p, parity_audio)
+        ours = [(s.t0, s.t1, [t.id for t in s.tokens]) for s in st.segments]
+        assert [(t0, t1) for t0, t1, _ in ours] == \
+               [(t0, t1) for t0, t1, _ in ref], (split, ours, ref)
+        assert [ids for _, _, ids in ours] == [ids for _, _, ids in ref], split
+
+
+def test_vad_full_pipeline_parity(ref_harness, parity_model_semi, tmp_path):
+    """whisper_full WITH VAD preprocessing: speech splicing + the
+    piecewise-linear time-remap of emitted segments
+    (src/whisper.cpp:6615-6793, :7882-7960) must match the reference."""
+    from whisper_tpu.models import vad as vad_mod
+
+    vmodel = vad_mod.random_vad_model()
+    vpath = tmp_path / "vad.bin"
+    vad_mod.write_vad_ggml(str(vpath), vmodel)
+
+    # speech-then-silence-then-speech so splicing actually cuts something
+    rng = np.random.default_rng(11)
+    t = np.arange(int(6 * 16000), dtype=np.float32) / 16000.0
+    audio = (0.4 * np.sin(2 * np.pi * 300 * t)
+             * ((t < 2.0) | (t > 4.0)).astype(np.float32)
+             + 0.02 * rng.standard_normal(t.shape)).astype(np.float32)
+    pcm = tmp_path / "audio6.f32"
+    audio.tofile(pcm)
+
+    regex = "(?![ ]t|\\[_TT_).*"
+    args = ["full", parity_model_semi, str(pcm),
+            "--max-tokens", str(N_TOK), "--suppress-regex", regex,
+            "--timestamps", "--vad", str(vpath)]
+    ref = _parse_segments(_run_ref(ref_harness, args, cwd=tmp_path))
+
+    ctx = wt.WhisperContext.new_with_params(
+        parity_model_semi, ContextParams(dtype="float32"))
+    p = _decisive_ts_params(regex, vad=True, vad_model_path=str(vpath))
+    st = ctx.create_state()
+    st.full(p, audio)
+    ours = [(s.t0, s.t1, [t.id for t in s.tokens]) for s in st.segments]
+    assert [(t0, t1) for t0, t1, _ in ours] == \
+           [(t0, t1) for t0, t1, _ in ref], (ours, ref)
+    assert [ids for _, _, ids in ours] == [ids for _, _, ids in ref]
