@@ -92,6 +92,7 @@ static int mode_full(int argc, char **argv) {
     int token_timestamps = 0, n_processors = 1, keep_context = 0;
     int suppress_nst = 0, max_len = 0, split_on_word = 0;
     const char *vad_model = NULL;
+    int audio_ctx = 0, offset_ms = 0, duration_ms = 0;
     const char *suppress_regex = NULL;
     const char *language = "en";
     const char *initial_prompt = NULL;
@@ -113,6 +114,9 @@ static int mode_full(int argc, char **argv) {
         else if (!strcmp(argv[i], "--max-len")) max_len = atoi(argv[++i]);
         else if (!strcmp(argv[i], "--split-on-word")) split_on_word = 1;
         else if (!strcmp(argv[i], "--vad")) vad_model = argv[++i];
+        else if (!strcmp(argv[i], "--audio-ctx")) audio_ctx = atoi(argv[++i]);
+        else if (!strcmp(argv[i], "--offset-ms")) offset_ms = atoi(argv[++i]);
+        else if (!strcmp(argv[i], "--duration-ms")) duration_ms = atoi(argv[++i]);
         else if (!strcmp(argv[i], "--debug")) debug = 1;
         else die("unknown flag");
     }
@@ -138,6 +142,9 @@ static int mode_full(int argc, char **argv) {
     if (keep_context) p.no_context = false;
     p.suppress_nst = suppress_nst != 0;
     p.max_len = max_len;
+    p.audio_ctx = audio_ctx;
+    p.offset_ms = offset_ms;
+    p.duration_ms = duration_ms;
     p.split_on_word = split_on_word != 0;
     if (vad_model) {
         p.vad = true;

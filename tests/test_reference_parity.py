@@ -802,3 +802,38 @@ def test_vad_full_pipeline_parity(ref_harness, parity_model_semi, tmp_path):
     assert [(t0, t1) for t0, t1, _ in ours] == \
            [(t0, t1) for t0, t1, _ in ref], (ours, ref)
     assert [ids for _, _, ids in ours] == [ids for _, _, ids in ref]
+
+
+def test_audio_ctx_offset_duration_parity(ref_harness, parity_model,
+                                          parity_audio, tmp_path):
+    """audio_ctx shrink (encoder sees fewer frames, :6933-6938) and
+    offset_ms/duration_ms seek-window math (:6941, :6986) must reproduce
+    the reference's streams."""
+    audio = np.concatenate([parity_audio, parity_audio])   # 5 s
+    pcm = tmp_path / "audio5.f32"
+    audio.tofile(pcm)
+
+    cases = [
+        ["--audio-ctx", "512"],
+        ["--offset-ms", "1000"],
+        ["--offset-ms", "500", "--duration-ms", "2000"],
+    ]
+    for extra in cases:
+        args = ["full", parity_model, str(pcm),
+                "--max-tokens", str(N_TOK),
+                "--suppress-regex", DECISIVE_REGEX, *extra]
+        ref = _only_text(_parse_segments(_run_ref(ref_harness, args,
+                                                  cwd=tmp_path)))
+        kw = {}
+        it = iter(extra)
+        for flag in it:
+            kw[{"--audio-ctx": "audio_ctx", "--offset-ms": "offset_ms",
+                "--duration-ms": "duration_ms"}[flag]] = int(next(it))
+        ctx = wt.WhisperContext.new_with_params(
+            parity_model, ContextParams(dtype="float32"))
+        p = _decisive_ts_params(DECISIVE_REGEX, no_timestamps=True, **kw)
+        st = ctx.create_state()
+        st.full(p, audio)
+        ours = [[td.id for td in s.tokens if td.id < 50256]
+                for s in st.segments]
+        assert ours == ref, (extra, ours, ref)
