@@ -29,12 +29,23 @@ def _block(tree):
         leaf.block_until_ready()
 
 
-def _slope_time(make_fn, args, n1, n2):
+def _slope_time(make_fn, args, n1, n2, min_delta_s=0.05, max_n2=512):
+    """Per-iteration time from two chain lengths (overhead cancels).
+
+    One timed call per executable, right after its warmup — on the axon
+    relay only that first post-warmup call reliably waits.  The short
+    chain's time then sizes the long chain so the extra work is at least
+    `min_delta_s` of wall clock: on a fast CPU a fixed small n2 puts the
+    t2-t1 delta below clock noise and the slope collapses to the 1e-9
+    floor (implying absurd GB/s — caught by test_micro_bench_cpu)."""
     import jax
-    f1, f2 = jax.jit(make_fn(n1)), jax.jit(make_fn(n2))
+    f1 = jax.jit(make_fn(n1))
     _block(f1(*args))
-    _block(f2(*args))
     t0 = time.perf_counter(); _block(f1(*args)); t1 = time.perf_counter() - t0
+    per_iter = max(t1 / n1, 1e-8)
+    n2 = min(max(n2, n1 + int(min_delta_s / per_iter) + 1), max_n2)
+    f2 = jax.jit(make_fn(n2))
+    _block(f2(*args))
     t0 = time.perf_counter(); _block(f2(*args)); t2 = time.perf_counter() - t0
     return max((t2 - t1) / (n2 - n1), 1e-9)
 
@@ -55,7 +66,10 @@ def bench_membw(mib: int = 256) -> float:
                 # each iteration (one read + one write); elementwise chains
                 # would be register-fused by XLA and measure FLOPs, not HBM
                 a = jnp.roll(a, s)
-            return a
+                # data-dependent shift: roll(roll(a,s),s) cannot be folded
+                # into roll(a,2s) because s differs per step (never true)
+                s = s + (a[0] > 8e37).astype(jnp.int32)
+            return a, s
         return f
 
     t = _slope_time(make, (x, shift), 2, 10)
