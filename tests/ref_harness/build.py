@@ -134,10 +134,14 @@ def build_reference(timeout_s: int = 900) -> Path:
              "--target", "whisper-cli"],
             check=True, capture_output=True, timeout=timeout_s)
 
-    # harness: plain C against the public header, rpath into the build tree
+    # harness: C-style C++ against the public header (C++ so it can link the
+    # reference's own GBNF parser for grammar parity), rpath into the build
     lib_dirs = [BUILD / "src", BUILD / "ggml" / "src"]
-    cmd = ["gcc", "-O2", "-o", str(HARNESS_BIN), str(HARNESS_SRC),
-           f"-I{TREE / 'include'}", f"-I{TREE / 'ggml' / 'include'}"]
+    cmd = ["g++", "-O2", "-o", str(HARNESS_BIN),
+           "-x", "c++", str(HARNESS_SRC),
+           "-x", "c++", str(TREE / "examples" / "grammar-parser.cpp"),
+           f"-I{TREE / 'include'}", f"-I{TREE / 'ggml' / 'include'}",
+           f"-I{TREE / 'examples'}"]
     for d in lib_dirs:
         cmd += [f"-L{d}", f"-Wl,-rpath,{d}"]
     cmd += ["-lwhisper", "-lggml", "-lggml-base", "-lggml-cpu", "-lm"]

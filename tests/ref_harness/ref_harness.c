@@ -15,7 +15,8 @@
  *       stdout: one line of space-separated token ids per input line
  *   ref_harness full <model.bin> <pcm.f32> [--beam N] [--max-tokens N]
  *                [--suppress-regex RE] [--timestamps] [--language XX]
- *                [--temperature T] [--debug]
+ *                [--temperature T] [--grammar-file F] [--grammar-rule R]
+ *                [--grammar-penalty P] [--debug]
  *       pcm.f32: raw little-endian float32 mono 16 kHz samples
  *       stdout:  "NSEG <n>" then per segment "SEG <t0> <t1> <id,id,...>"
  *       --debug additionally makes whisper.cpp dump
@@ -25,7 +26,14 @@
 #include <stdlib.h>
 #include <string.h>
 
+#include <string>
+#include <vector>
+
 #include "whisper.h"
+/* the reference's own GBNF parser (examples/grammar-parser.cpp), so the
+ * grammar differential-parity test feeds IDENTICAL whisper_grammar_element
+ * rules into whisper_full that the reference CLI would (cli.cpp:1031-1220) */
+#include "grammar-parser.h"
 
 static void die(const char *msg) {
     fprintf(stderr, "ref_harness: %s\n", msg);
@@ -93,6 +101,8 @@ static int mode_full(int argc, char **argv) {
     int suppress_nst = 0, max_len = 0, split_on_word = 0;
     const char *vad_model = NULL;
     int audio_ctx = 0, offset_ms = 0, duration_ms = 0;
+    const char *grammar_file = NULL, *grammar_rule = "root";
+    float grammar_penalty = 100.0f;
     const char *suppress_regex = NULL;
     const char *language = "en";
     const char *initial_prompt = NULL;
@@ -117,6 +127,9 @@ static int mode_full(int argc, char **argv) {
         else if (!strcmp(argv[i], "--audio-ctx")) audio_ctx = atoi(argv[++i]);
         else if (!strcmp(argv[i], "--offset-ms")) offset_ms = atoi(argv[++i]);
         else if (!strcmp(argv[i], "--duration-ms")) duration_ms = atoi(argv[++i]);
+        else if (!strcmp(argv[i], "--grammar-file")) grammar_file = argv[++i];
+        else if (!strcmp(argv[i], "--grammar-rule")) grammar_rule = argv[++i];
+        else if (!strcmp(argv[i], "--grammar-penalty")) grammar_penalty = (float)atof(argv[++i]);
         else if (!strcmp(argv[i], "--debug")) debug = 1;
         else die("unknown flag");
     }
@@ -151,6 +164,28 @@ static int mode_full(int argc, char **argv) {
         p.vad_model_path = vad_model;
     }
     p.temperature = temperature;
+    /* GBNF-guided decoding, wired exactly like the reference CLI
+     * (examples/cli/cli.cpp:1207-1220) */
+    grammar_parser::parse_state grammar_parsed;
+    std::vector<const whisper_grammar_element *> grammar_rules;
+    if (grammar_file) {
+        FILE *gf = fopen(grammar_file, "rb");
+        if (!gf) die("cannot open grammar file");
+        std::string gtxt;
+        char buf[4096];
+        size_t r;
+        while ((r = fread(buf, 1, sizeof(buf), gf)) > 0) gtxt.append(buf, r);
+        fclose(gf);
+        grammar_parsed = grammar_parser::parse(gtxt.c_str());
+        if (grammar_parsed.rules.empty()) die("grammar parse failed");
+        if (grammar_parsed.symbol_ids.find(grammar_rule) ==
+            grammar_parsed.symbol_ids.end()) die("grammar rule not found");
+        grammar_rules = grammar_parsed.c_rules();
+        p.grammar_rules = grammar_rules.data();
+        p.n_grammar_rules = grammar_rules.size();
+        p.i_start_rule = grammar_parsed.symbol_ids.at(grammar_rule);
+        p.grammar_penalty = grammar_penalty;
+    }
     /* decisive config: disable the fallback ladder + no-speech gating so a
      * single attempt's token stream is THE output (fallback decisions hinge
      * on ulp-level logprob sums that legitimately differ across backends) */

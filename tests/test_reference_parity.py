@@ -326,6 +326,68 @@ def test_initial_prompt_parity(ref_harness, parity_model, parity_audio,
     assert ours == ref
 
 
+GRAMMAR_GBNF = """\
+root ::= item (ws item)*
+ws   ::= " "
+item ::= word | num
+word ::= "the" | "and" | "country" | "ask" | "é"
+num  ::= [0-9] [0-9]?
+"""
+
+
+@pytest.mark.parametrize("beam,penalty", [(0, 10000.0), (5, 10000.0),
+                                          (0, 100.0)],
+                         ids=["greedy", "beam5", "soft-penalty"])
+def test_grammar_parity(ref_harness, parity_model_sharp, parity_audio,
+                        tmp_path, beam, penalty):
+    """GBNF-guided decoding vs the reference: the harness parses the SAME
+    grammar text with the reference's own grammar-parser and wires it like
+    cli.cpp:1207-1220; we parse with decoding/grammar.parse_gbnf. Asserts
+    identical segment token streams for greedy and beam-5, with an absolute
+    penalty (grammar fully constrains) AND the default 100.0 (rejected
+    tokens are merely downweighted — whisper_suppress_invalid_grammar,
+    src/whisper.cpp:5824-5866). The 2-byte "é" terminal exercises the
+    partial-UTF-8 stack matching (:5578-5623) through single-byte tokens."""
+    from whisper_tpu.decoding.grammar import parse_gbnf
+
+    pcm = tmp_path / "audio.f32"
+    parity_audio.tofile(pcm)
+    gfile = tmp_path / "g.gbnf"
+    gfile.write_text(GRAMMAR_GBNF)
+    args = ["full", parity_model_sharp, str(pcm), "--max-tokens", str(N_TOK),
+            "--grammar-file", str(gfile), "--grammar-rule", "root",
+            "--grammar-penalty", str(penalty)]
+    if beam:
+        args += ["--beam", str(beam)]
+    ref = _only_text(_parse_segments(_run_ref(ref_harness, args,
+                                              cwd=tmp_path)))
+
+    ctx = wt.WhisperContext.new_with_params(
+        parity_model_sharp, ContextParams(dtype="float32"))
+    p = FullParams.default(
+        SamplingStrategy.BEAM_SEARCH if beam else SamplingStrategy.GREEDY)
+    p.language = "en"
+    p.no_timestamps = True
+    p.max_tokens = N_TOK
+    p.temperature = 0.0
+    p.temperature_inc = 0.0
+    p.entropy_thold = -1e9
+    p.logprob_thold = -1e9
+    p.no_speech_thold = 1e9
+    p.print_progress = False
+    p.grammar_rules = parse_gbnf(GRAMMAR_GBNF, "root")
+    p.grammar_penalty = penalty
+    if beam:
+        p.beam_search.beam_size = beam
+        p.greedy.best_of = beam
+    else:
+        p.greedy.best_of = 1
+    st = ctx.create_state()
+    st.full(p, parity_audio)
+    ours = [[td.id for td in s.tokens if td.id < 50256] for s in st.segments]
+    assert ours == ref, f"grammar streams differ:\nref:  {ref}\nours: {ours}"
+
+
 def test_vad_parity(ref_harness, tmp_path):
     """Silero-VAD differential parity: a random-weight silero ggml written
     by our writer, loaded by BOTH systems; per-frame speech probabilities
