@@ -130,10 +130,12 @@ def test_grammar_full_pipeline(jfk_like_audio):
 
 
 def test_grammar_cpu_fallback_on_tpu(jfk_like_audio, monkeypatch):
-    """VERDICT r1 item 8: on a non-CPU backend (where the host loop's
-    per-token logits D2H is unsupported on the serving relay), grammar
-    requests transparently reroute to a CPU twin of the context — warned,
-    and producing the same grammar-constrained output."""
+    """VERDICT r1 item 8: DFA-compilable grammars run on-device
+    (decoding/grammar_dfa.py); this covers the remainder — a grammar whose
+    state space exceeds the DFA budget (unbounded center recursion) on a
+    non-CPU backend (where the host loop's per-token logits D2H is
+    unsupported on the serving relay) transparently reroutes to a CPU twin
+    of the context — warned, and producing the same output."""
     import warnings
 
     import whisper_tpu as wt
@@ -147,7 +149,10 @@ def test_grammar_cpu_fallback_on_tpu(jfk_like_audio, monkeypatch):
     p.print_progress = False
     p.greedy.best_of = 1
     p.temperature_inc = 0.0
-    p.grammar_rules = g.parse_gbnf('root ::= [a-z ]*')
+    # center recursion -> unbounded stack depth -> DFA budget trip -> host
+    p.grammar_rules = g.parse_gbnf('root ::= "(" root ")" | [a-z ]*')
+    from whisper_tpu.decoding.grammar_dfa import cached_dfa
+    assert cached_dfa(p.grammar_rules, ctx.vocab) is None
     audio = jfk_like_audio[: 16000 * 2]
 
     # reference output on the plain CPU path

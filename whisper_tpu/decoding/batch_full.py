@@ -56,6 +56,22 @@ def run_full_batch(
     if B == 0:
         return []
 
+    if (params.grammar_rules is not None
+            or params.logits_filter_callback is not None):
+        # grammar / logits-callback decoding carries per-decoder pushdown or
+        # host state the lockstep batch loop doesn't fold yet — run each
+        # utterance through the single-state orchestrator (device DFA path
+        # or host loop as loop.py decides); merge semantics are unchanged
+        from whisper_tpu.decoding.loop import run_full
+        out = []
+        for audio in audios:
+            st = ctx.create_state()
+            out.append(run_full(st, params, audio))
+            if timings_sink is not None:
+                for phase, stat in st.timings.phases.items():
+                    timings_sink.add(phase, stat.total_s, stat.calls)
+        return out
+
     consts, tids = filters.build_filter_consts(vocab, hp, params)
     prompt_max = hp.n_text_ctx // 2 + 8
     temperatures = params.temperatures()

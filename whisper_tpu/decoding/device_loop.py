@@ -143,6 +143,7 @@ class _LoopState(NamedTuple):
     result_len: jax.Array
     last_token: jax.Array    # (B,) i32
     prefix_hash: jax.Array   # (B,) u32
+    gstate: jax.Array        # (B,) i32 — grammar-DFA state (0 if unused)
 
 
 @functools.partial(
@@ -161,6 +162,9 @@ def decode_window(
     seek: jax.Array,         # () i32
     seek_end: jax.Array,     # () i32
     rng_key: jax.Array,
+    grammar_reject=None,     # (S, V) bool — token-DFA reject mask rows
+    grammar_trans=None,      # (S, V) i32 — token-DFA transition table
+    grammar_penalty=None,    # () f32 — logit penalty for rejected tokens
     *,
     tids: TokenIds,
     n_dec: int,
@@ -218,6 +222,7 @@ def decode_window(
         result_len=jnp.zeros(B, jnp.int32),
         last_token=jnp.zeros(B, jnp.int32),
         prefix_hash=jnp.zeros(B, jnp.uint32),
+        gstate=jnp.zeros(B, jnp.int32),
     )
 
     def cond(st: _LoopState):
@@ -235,6 +240,10 @@ def decode_window(
                                   st.tokens[:, jnp.maximum(i - 2, 0)] >= tids.beg,
                                   True)                          # <2 tokens -> true (:6264)
 
+        # grammar-DFA penalty: one gathered mask row per decoder (the
+        # reference's whisper_suppress_invalid_grammar at :6336, precompiled
+        # — see decoding/grammar_dfa.py)
+        g_rej = grammar_reject[st.gstate] if grammar_reject is not None else None
         lg, logprobs, probs = apply_filters(
             st.logits, consts, tids,
             is_initial=jnp.broadcast_to(is_initial, (B,)),
@@ -243,6 +252,9 @@ def decode_window(
             has_ts=st.has_ts,
             seek_delta=st.seek_delta,
             temperature=temperature,
+            grammar_reject=g_rej,
+            grammar_penalty=(grammar_penalty
+                             if grammar_penalty is not None else 100.0),
         )
         pt, ptsum, tid = timestamp_stats(probs, tids)
 
@@ -272,6 +284,7 @@ def decode_window(
                 seek_delta=st.seek_delta[src], has_ts=st.has_ts[src],
                 result_len=st.result_len[src],
                 prefix_hash=st.prefix_hash[src] * HASH_MULT + tok.astype(jnp.uint32),
+                gstate=st.gstate[src],
             )
             logprobs = logprobs[src]
             probs = probs[src]
@@ -292,6 +305,14 @@ def decode_window(
         tok_ptsum = st.tok_ptsum.at[:, i].set(jnp.where(live, ptsum, st.tok_ptsum[:, i]))
         tok_tid = st.tok_tid.at[:, i].set(jnp.where(live, tid, st.tok_tid[:, i]))
         sum_lp = jnp.where(live, st.sum_logprobs_all + plog_tok, st.sum_logprobs_all)
+
+        # grammar accept: table lookup on the sampled token, live slots only
+        # (reference whisper_grammar_accept_token at :7329; in the beam
+        # branch st.gstate is already the forked source state)
+        if grammar_trans is not None:
+            gstate = jnp.where(live, grammar_trans[st.gstate, tok], st.gstate)
+        else:
+            gstate = st.gstate
 
         # ---- per-decoder state machine (:7297-7378) ------------------------
         has_ts, failed, completed = st.has_ts, st.failed, st.completed
@@ -343,6 +364,7 @@ def decode_window(
             sum_logprobs_all=sum_lp, seek_delta=seek_delta, has_ts=has_ts,
             failed=failed, completed=completed, result_len=result_len,
             last_token=next_tok, prefix_hash=st.prefix_hash,
+            gstate=gstate,
         )
 
     final = lax.while_loop(cond, body, state)

@@ -36,13 +36,23 @@ def run_full(state: WhisperState, params: FullParams, samples: Optional[np.ndarr
     hp = ctx.hparams
     vocab = ctx.vocab
 
-    # Grammar / logits-callback decoding steps logits on the HOST per token
+    # Grammar decoding runs ON DEVICE when the grammar's reachable state
+    # space is finite: the GBNF pushdown machine is precompiled into a
+    # token-level DFA (decoding/grammar_dfa.py) whose reject mask + accept
+    # transition ride inside the jitted while_loop as table gathers.
+    grammar_dfa = None
+    if params.grammar_rules is not None:
+        from whisper_tpu.decoding.grammar_dfa import cached_dfa
+        grammar_dfa = cached_dfa(params.grammar_rules, vocab)
+
+    # Logits-callback decoding (and grammars too gnarly for the DFA budget,
+    # e.g. unboundedly recursive rules) steps logits on the HOST per token
     # (decoding/host_loop.py). TPU serving relays do not support device->
     # host transfers mid-decode, so those requests transparently run on the
     # CPU backend instead (weights lazily copied once — api.cpu_twin). This
     # is a documented environmental fallback, not an architectural limit:
     # on runtimes with working D2H the host loop runs against TPU arrays.
-    if ((params.grammar_rules is not None
+    if (((params.grammar_rules is not None and grammar_dfa is None)
          or params.logits_filter_callback is not None)
             and jax.default_backend() != "cpu" and not ctx.is_stub
             and getattr(ctx, "_cpu_twin", None) is not ctx):
@@ -203,7 +213,8 @@ def run_full(state: WhisperState, params: FullParams, samples: Optional[np.ndarr
             prompt_padded = np.zeros(prompt_bucket(prompt_len), np.int32)
             prompt_padded[:prompt_len] = prompt
 
-            use_host_loop = (params.grammar_rules is not None
+            use_host_loop = ((params.grammar_rules is not None
+                              and grammar_dfa is None)
                              or params.logits_filter_callback is not None)
             if use_host_loop:
                 # grammar / user-callback path: host-stepped decode
@@ -235,6 +246,9 @@ def run_full(state: WhisperState, params: FullParams, samples: Optional[np.ndarr
                 jnp.asarray(prompt_padded), jnp.int32(prompt_len),
                 jnp.float32(t_cur), jnp.int32(seek), jnp.int32(seek_end),
                 jax.random.PRNGKey(rng_seed + it),
+                jnp.asarray(grammar_dfa.reject) if grammar_dfa else None,
+                jnp.asarray(grammar_dfa.trans) if grammar_dfa else None,
+                jnp.float32(params.grammar_penalty) if grammar_dfa else None,
                 tids=tids,
                 n_dec=n_dec_cur,
                 strategy=strat,
