@@ -186,3 +186,55 @@ def test_batch_sample_best_of(ctx, audios):
     assert len(res) == 2
     for segs in res:
         assert segs
+
+
+GBNF = 'root ::= ("the" | "ask" | [0-9]) (" " ("the"|"ask"|[0-9]))*\n'
+
+
+def _grammar_p(strategy=None):
+    from whisper_tpu.config import SamplingStrategy
+    from whisper_tpu.decoding.grammar import parse_gbnf
+    p = _beam_p() if strategy == "beam" else _decisive_p()
+    p.grammar_rules = parse_gbnf(GBNF, "root")
+    p.grammar_penalty = 10000.0
+    return p
+
+
+def test_batch_grammar_matches_sequential(ctx, audios):
+    """DFA-compilable grammars fold into the lockstep batch loop (per-row
+    gstate + table gathers) — batched output must equal per-utterance
+    run_full (which itself runs the device DFA path)."""
+    from whisper_tpu.decoding.grammar import parse_gbnf
+    from whisper_tpu.decoding.grammar_dfa import cached_dfa
+    assert cached_dfa(parse_gbnf(GBNF, "root"), ctx.vocab) is not None
+
+    p = _grammar_p()
+    got = ctx.full_batch(p, audios[:1])[0]
+    st = ctx.create_state()
+    st.full(p, audios[0])
+    want = st.segments
+    assert [[t.id for t in s.tokens] for s in got] == \
+           [[t.id for t in s.tokens] for s in want]
+    assert got, "grammar batch decode produced no segments"
+
+
+def test_batch_grammar_beam_rows_independent(ctx, audios):
+    """Grammar state must fork with the beam and stay row-isolated."""
+    p = _grammar_p("beam")
+    a = audios[0]
+    r = ctx.full_batch(p, [a, audios[1]])
+    solo = ctx.full_batch(p, [a])
+    assert [[t.id for t in s.tokens] for s in r[0]] == \
+           [[t.id for t in s.tokens] for s in solo[0]]
+
+
+def test_batch_grammar_over_budget_falls_back(ctx, audios):
+    """A grammar the DFA compiler refuses (unbounded center recursion)
+    still works through full_batch via the sequential orchestrator."""
+    from whisper_tpu.decoding.grammar import parse_gbnf
+    from whisper_tpu.decoding.grammar_dfa import cached_dfa
+    p = _grammar_p()
+    p.grammar_rules = parse_gbnf('root ::= "(" root ")" | [a-z ]*\n', "root")
+    assert cached_dfa(p.grammar_rules, ctx.vocab) is None
+    res = ctx.full_batch(p, audios[:2])
+    assert len(res) == 2

@@ -9,9 +9,10 @@ Utterances finish independently; finished rows ride along masked until all
 are done (their lanes do no useful work, which is the price of static
 shapes — with a data mesh the batch axis shards over chips).
 
-Batch mode is greedy/sampling (beam forking within an utterance group is
-the single-utterance path's job); temperature fallback reruns only the
-rows that need it, masked.
+Each utterance owns K decoder rows (beam_size / best_of) with
+block-diagonal beam forks, so the north-star beam-5 config batches too;
+temperature fallback reruns only the rows that need it, masked.
+DFA-compilable grammars ride along as per-row table gathers.
 """
 
 from __future__ import annotations
@@ -56,12 +57,17 @@ def run_full_batch(
     if B == 0:
         return []
 
-    if (params.grammar_rules is not None
+    # DFA-compilable grammars fold into the lockstep loop as per-row table
+    # gathers (decoding/grammar_dfa.py). Logits callbacks and over-budget
+    # grammars carry host state the batch loop can't fold — those requests
+    # run each utterance through the single-state orchestrator (host loop
+    # as loop.py decides); merge semantics are unchanged.
+    grammar_dfa = None
+    if params.grammar_rules is not None:
+        from whisper_tpu.decoding.grammar_dfa import cached_dfa
+        grammar_dfa = cached_dfa(params.grammar_rules, vocab)
+    if ((params.grammar_rules is not None and grammar_dfa is None)
             or params.logits_filter_callback is not None):
-        # grammar / logits-callback decoding carries per-decoder pushdown or
-        # host state the lockstep batch loop doesn't fold yet — run each
-        # utterance through the single-state orchestrator (device DFA path
-        # or host loop as loop.py decides); merge semantics are unchanged
         from whisper_tpu.decoding.loop import run_full
         out = []
         for audio in audios:
@@ -177,6 +183,9 @@ def run_full_batch(
                 jnp.float32(t_cur), jnp.asarray(seek), jnp.asarray(seek_end),
                 jnp.asarray(needy),
                 jax.random.PRNGKey(rng_seed + it),
+                jnp.asarray(grammar_dfa.reject) if grammar_dfa else None,
+                jnp.asarray(grammar_dfa.trans) if grammar_dfa else None,
+                jnp.float32(params.grammar_penalty) if grammar_dfa else None,
                 tids=tids, n_utt=B, n_per_utt=K, strategy=strat,
                 max_tokens=params.max_tokens,
                 single_segment=params.single_segment,

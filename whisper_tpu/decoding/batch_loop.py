@@ -80,6 +80,9 @@ def decode_windows_batch(
     seek_end: jax.Array,      # (U,) i32
     row_active: jax.Array,    # (U,) bool — False utterances are skipped
     rng_key: jax.Array,
+    grammar_reject=None,      # (S, V) bool — token-DFA reject mask rows
+    grammar_trans=None,       # (S, V) i32 — token-DFA transition table
+    grammar_penalty=None,     # () f32 — logit penalty for rejected tokens
     *,
     tids: TokenIds,
     n_utt: int,
@@ -144,6 +147,7 @@ def decode_windows_batch(
         result_len: jax.Array
         last_token: jax.Array
         prefix_hash: jax.Array
+        gstate: jax.Array     # (B,) i32 — grammar-DFA state (0 if unused)
 
     st0 = _S(
         i=jnp.int32(0), kv=kv, logits=logits0,
@@ -161,6 +165,7 @@ def decode_windows_batch(
         result_len=jnp.zeros(B, jnp.int32),
         last_token=jnp.zeros(B, jnp.int32),
         prefix_hash=jnp.zeros(B, jnp.uint32),
+        gstate=jnp.zeros(B, jnp.int32),
     )
 
     def cond(st):
@@ -175,11 +180,17 @@ def decode_windows_batch(
         penult_was_ts = jnp.where(i >= 2,
                                   st.tokens[:, jnp.maximum(i - 2, 0)] >= tids.beg, True)
 
+        # grammar-DFA penalty: one gathered mask row per decoder row (same
+        # tables as device_loop; see decoding/grammar_dfa.py)
+        g_rej = grammar_reject[st.gstate] if grammar_reject is not None else None
         lg, logprobs, probs = apply_filters(
             st.logits, consts, tids,
             is_initial=jnp.broadcast_to(i == 0, (B,)),
             last_was_ts=last_was_ts, penult_was_ts=penult_was_ts,
-            has_ts=st.has_ts, seek_delta=st.seek_delta, temperature=temperature)
+            has_ts=st.has_ts, seek_delta=st.seek_delta, temperature=temperature,
+            grammar_reject=g_rej,
+            grammar_penalty=(grammar_penalty
+                             if grammar_penalty is not None else 100.0))
         pt, ptsum, tid = timestamp_stats(probs, tids)
 
         if strategy == SAMPLE:
@@ -208,6 +219,7 @@ def decode_windows_batch(
                 seek_delta=st.seek_delta[src], has_ts=st.has_ts[src],
                 result_len=st.result_len[src],
                 prefix_hash=st.prefix_hash[src] * HASH_MULT + tok.astype(jnp.uint32),
+                gstate=st.gstate[src],
             )
             logprobs = logprobs[src]
             probs = probs[src]
@@ -228,6 +240,14 @@ def decode_windows_batch(
         tok_ptsum = st.tok_ptsum.at[:, i].set(jnp.where(live, ptsum, st.tok_ptsum[:, i]))
         tok_tid = st.tok_tid.at[:, i].set(jnp.where(live, tid, st.tok_tid[:, i]))
         sum_lp = jnp.where(live, st.sum_lp + plog_tok, st.sum_lp)
+
+        # grammar accept: table lookup on the sampled token, live rows only
+        # (reference whisper_grammar_accept_token at :7329; in the beam
+        # branch st.gstate is already the forked source state)
+        if grammar_trans is not None:
+            gstate = jnp.where(live, grammar_trans[st.gstate, tok], st.gstate)
+        else:
+            gstate = st.gstate
 
         # per-decoder state machine with PER-ROW seek bounds (:7297-7378)
         has_ts, failed, completed = st.has_ts, st.failed, st.completed
@@ -272,7 +292,8 @@ def decode_windows_batch(
                   tok_ptsum=tok_ptsum, tok_tid=tok_tid, sum_lp=sum_lp,
                   seek_delta=seek_delta, has_ts=has_ts, failed=failed,
                   completed=completed, result_len=result_len,
-                  last_token=next_tok, prefix_hash=st.prefix_hash)
+                  last_token=next_tok, prefix_hash=st.prefix_hash,
+                  gstate=gstate)
 
     fin = lax.while_loop(cond, body, st0)
     return BatchWindowResult(
