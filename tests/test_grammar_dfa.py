@@ -130,3 +130,50 @@ def test_cached_dfa_memoizes(tiny_ctx):
     d1 = cached_dfa(parsed, tiny_ctx.vocab)
     d2 = cached_dfa(parsed, tiny_ctx.vocab)
     assert d1 is d2
+
+
+def test_dfa_fuzz_random_grammars(tiny_ctx):
+    """Property test: for randomly generated GBNF grammars, every reachable
+    (state, token) pair's reject bit and successor must match the live
+    pushdown machine; grammars that don't compile must simply return None."""
+    rng = np.random.default_rng(7)
+    vocab = tiny_ctx.vocab
+    WORDS = ['"the"', '"a b"', '"é"', '"日"', '"x0"', '"zz"']
+    CLASSES = ['[a-c]', '[0-9]', '[^a-z]', '[xé0-2]']
+
+    def gen_item(depth):
+        r = rng.random()
+        if r < 0.45:
+            return WORDS[rng.integers(len(WORDS))]
+        if r < 0.8:
+            return CLASSES[rng.integers(len(CLASSES))]
+        inner = " ".join(gen_item(depth + 1)
+                         for _ in range(rng.integers(1, 3)))
+        return "(" + inner + ")" + ["*", "?", "+"][rng.integers(3)]
+
+    compiled = 0
+    for trial in range(12):
+        alts = [" ".join(gen_item(0) for _ in range(rng.integers(1, 4)))
+                for _ in range(rng.integers(1, 4))]
+        gbnf = "root ::= " + " | ".join(alts) + "\n"
+        parsed = parse_gbnf(gbnf, "root")
+        dfa = compile_token_dfa(parsed, vocab, max_states=256)
+        if dfa is None:
+            continue
+        compiled += 1
+        g = parsed.instance()
+        sid = dfa.start
+        for _step in range(8):
+            live_rej = np.zeros(vocab.n_vocab, bool)
+            live_rej[g.rejected_tokens(vocab)] = True
+            np.testing.assert_array_equal(
+                dfa.reject[sid], live_rej,
+                err_msg=f"grammar={gbnf!r} step={_step} state={sid}")
+            # mostly allowed tokens, sometimes any (dead-state coverage)
+            allowed = np.nonzero(~live_rej[: vocab.token_eot])[0]
+            pool = (allowed if len(allowed) and rng.random() < 0.7
+                    else np.arange(vocab.token_eot))
+            tok = int(rng.choice(pool))
+            g.accept_token(vocab, tok)
+            sid = int(dfa.trans[sid, tok])
+    assert compiled >= 6, f"only {compiled}/12 fuzz grammars compiled"
