@@ -190,3 +190,31 @@ def test_convert_silero_torch_roundtrip(tmp_path):
     probs = vad_mod.detect_speech(loaded, np.zeros(4096, np.float32))
     ref_probs = vad_mod.detect_speech(ref, np.zeros(4096, np.float32))
     np.testing.assert_allclose(probs, ref_probs, atol=1e-5)
+
+
+def test_vad_context_object_api(tmp_path, vad_model, jfk_like_audio):
+    """whisper.h:675-716 object surface: init_from_file_with_params,
+    detect_speech -> n_probs/probs, segments_from_probs/samples."""
+    import whisper_tpu as wt
+    from whisper_tpu.config import VadParams
+
+    path = str(tmp_path / "vad.bin")
+    vad_mod.write_vad_ggml(path, vad_model)
+    vctx = wt.VadContext.init_from_file_with_params(path)
+
+    audio = jfk_like_audio[: 16000 * 2]
+    assert vctx.detect_speech(audio)
+    n_win = vad_model.hparams.n_window
+    assert vctx.n_probs == -(-len(audio) // n_win)
+    assert vctx.probs.shape == (vctx.n_probs,)
+    assert np.all((vctx.probs >= 0) & (vctx.probs <= 1))
+
+    p = VadParams(threshold=0.0)   # everything is speech
+    segs = vctx.segments_from_probs(p)
+    assert segs and segs[0].start == 0
+    # one-call variant must agree with the two-step path
+    segs2 = vctx.segments_from_samples(p, audio)
+    assert [(s.start, s.end) for s in segs] == [(s.start, s.end) for s in segs2]
+    # and with the functional API
+    segs3 = vad_mod.vad_segments_from_samples(vad_model, audio, p)
+    assert [(s.start, s.end) for s in segs] == [(s.start, s.end) for s in segs3]

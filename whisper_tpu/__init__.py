@@ -53,6 +53,7 @@ from whisper_tpu.config import (  # noqa: F401
 )
 from whisper_tpu.tokenizer import WhisperVocab, Tokenizer  # noqa: F401
 from whisper_tpu.api import WhisperContext, WhisperState  # noqa: F401
+from whisper_tpu.models.vad import VadContext  # noqa: F401
 from whisper_tpu.utils.logging import install_logging_hooks, log_set, LogLevel  # noqa: F401
 from whisper_tpu.serving.writers import system_info_string as print_system_info  # noqa: F401
 from whisper_tpu.utils.device_info import (  # noqa: F401

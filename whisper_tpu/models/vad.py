@@ -507,3 +507,45 @@ def vad_segments_from_samples(model: VadModel, samples: np.ndarray,
     whisper_vad_segments_from_samples, src/whisper.cpp:5437-5449)."""
     probs = detect_speech(model, samples)
     return segments_from_probs(probs, params, n_window=model.hparams.n_window)
+
+
+class VadContext:
+    """Standalone VAD context mirroring the reference's object API
+    (include/whisper.h:675-716: whisper_vad_init_from_file_with_params,
+    whisper_vad_detect_speech, whisper_vad_n_probs/probs,
+    whisper_vad_segments_from_probs/samples). Python GC replaces
+    whisper_vad_free/free_segments; segment getters return centiseconds on
+    the SpeechSegment records (the reference's t0/t1 floats are cs too)."""
+
+    def __init__(self, model: VadModel):
+        self.model = model
+        self._probs = np.zeros(0, np.float32)
+
+    @classmethod
+    def init_from_file_with_params(cls, path: str) -> "VadContext":
+        return cls(read_vad_ggml(path))
+
+    # whisper_vad_init_with_params takes a model_loader (buffer source)
+    init_with_params = init_from_file_with_params
+
+    def detect_speech(self, samples: np.ndarray) -> bool:
+        """whisper.h:690-693 — runs the model, retains per-window probs."""
+        self._probs = detect_speech(self.model, np.asarray(samples, np.float32))
+        return True
+
+    @property
+    def n_probs(self) -> int:
+        return len(self._probs)
+
+    @property
+    def probs(self) -> np.ndarray:
+        return self._probs
+
+    def segments_from_probs(self, params) -> List[SpeechSegment]:
+        return segments_from_probs(self._probs, params,
+                                   n_window=self.model.hparams.n_window)
+
+    def segments_from_samples(self, params,
+                              samples: np.ndarray) -> List[SpeechSegment]:
+        self.detect_speech(samples)
+        return self.segments_from_probs(params)
