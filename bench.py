@@ -174,12 +174,26 @@ def largev3_beam5_compile_check() -> dict:
 
     def mem(c):
         m = c.memory_analysis()
-        return {
+        out = {
             "args_gb": round(m.argument_size_in_bytes / 2**30, 3),
             "temp_gb": round(m.temp_size_in_bytes / 2**30, 3),
             "out_mb": round(m.output_size_in_bytes / 2**20, 3),
             "code_mb": round(m.generated_code_size_in_bytes / 2**20, 2),
         }
+        try:
+            # XLA's static FLOP count: objective no-wasted-work evidence
+            # (e.g. the logit projection runs on sliced rows, not the full
+            # padded prompt). While-loop bodies count once per compile, so
+            # decode programs report per-iteration-structure FLOPs.
+            ca = c.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0] if ca else {}
+            fl = ca.get("flops")
+            if fl:
+                out["xla_gflops"] = round(float(fl) / 1e9, 2)
+        except Exception:
+            pass
+        return out
 
     # quantized serving path: same beam-5 window program with int8-block
     # weights resident in HBM + the Pallas dequant-in-kernel matmul
