@@ -153,6 +153,21 @@ def build_reference(timeout_s: int = 900) -> Path:
     return HARNESS_BIN
 
 
+def reference_quantize(timeout_s: int = 900) -> Path:
+    """Path to the reference quantize binary (examples/quantize/quantize.cpp),
+    building the target if needed — used for K-quant codec parity."""
+    binp = BUILD / "bin" / "quantize"
+    if binp.exists():
+        return binp
+    build_reference(timeout_s)
+    subprocess.run(
+        ["cmake", "--build", str(BUILD), "--target", "quantize"],
+        check=True, capture_output=True, timeout=timeout_s)
+    if not binp.exists():
+        raise RuntimeError("quantize binary not produced")
+    return binp
+
+
 def reference_cli(timeout_s: int = 900) -> Path:
     """Path to the reference whisper-cli binary (examples/cli/cli.cpp),
     building the tree if needed — used for output-writer format parity."""

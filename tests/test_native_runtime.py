@@ -36,6 +36,21 @@ def test_dequant_matches_numpy(ttype):
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.parametrize("ttype", [10, 11, 12, 13, 14],
+                         ids=["q2_K", "q3_K", "q4_K", "q5_K", "q6_K"])
+def test_kquant_dequant_matches_numpy(ttype):
+    """K-quant super-block decoders (runtime.cpp dequant_block_q*_K vs the
+    vectorized numpy in quant.py) must agree bit-for-bit."""
+    from whisper_tpu.checkpoint import quant
+    rng = np.random.default_rng(ttype)
+    x = (rng.standard_normal(64 * 256) * 0.3).astype(np.float32)
+    raw = quant.quantize(x, ttype)
+    want = quant._K_DEQUANT[ttype](
+        np.frombuffer(raw, np.uint8).reshape(-1, quant.type_size(ttype)))
+    got = native.dequantize(ttype, raw, x.size)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_dequant_f16():
     x = np.linspace(-3, 3, 1024, dtype=np.float32).astype(np.float16)
     got = native.dequantize(1, x.tobytes(), x.size)

@@ -10,6 +10,7 @@ ALL_QTYPES = [
     quant.GGML_TYPE_Q4_0, quant.GGML_TYPE_Q4_1, quant.GGML_TYPE_Q5_0,
     quant.GGML_TYPE_Q5_1, quant.GGML_TYPE_Q8_0,
 ]
+K_QTYPES = list(quant.K_QUANT_TYPES)
 
 
 @pytest.mark.parametrize("ttype", ALL_QTYPES)
@@ -63,3 +64,48 @@ def test_zero_block():
     for ttype in ALL_QTYPES:
         y = quant.dequantize(quant.quantize(x, ttype), ttype, 64)
         np.testing.assert_allclose(y, 0.0, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# K-quants (256-element super-blocks, ggml-common.h:255-327)
+# ---------------------------------------------------------------------------
+
+# error ceilings (relative RMSE on N(0, 0.25) data); measured values are
+# ~{q2:0.33, q3:0.16, q4:0.08, q5:0.04, q6:0.02} — ceilings catch a broken
+# sub-block mapping (which produces ~1.0) without flaking on rng choice
+_K_RMSE_MAX = {
+    quant.GGML_TYPE_Q2_K: 0.45, quant.GGML_TYPE_Q3_K: 0.25,
+    quant.GGML_TYPE_Q4_K: 0.13, quant.GGML_TYPE_Q5_K: 0.07,
+    quant.GGML_TYPE_Q6_K: 0.035,
+}
+
+
+@pytest.mark.parametrize("ttype", K_QTYPES)
+def test_kquant_roundtrip(ttype):
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(8 * 256) * 0.25).astype(np.float32)
+    raw = quant.quantize(x, ttype)
+    assert len(raw) == quant.row_nbytes(ttype, x.size)
+    y = quant.dequantize(raw, ttype, x.size)
+    rmse = float(np.sqrt(((x - y) ** 2).mean()) / x.std())
+    assert rmse < _K_RMSE_MAX[ttype], rmse
+
+
+@pytest.mark.parametrize("ttype", K_QTYPES)
+def test_kquant_int8_repack_matches_dequant(ttype):
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal(4 * 256)).astype(np.float32)
+    raw = quant.quantize(x, ttype)
+    q, d, m = quant.dequantize_to_int8_blocks(raw, ttype, x.size)
+    bs = quant.int8_block_size(ttype)
+    assert q.shape == (x.size // bs, bs)
+    recon = (q.astype(np.float32) * d[:, None] + m[:, None]).reshape(-1)
+    full = quant.dequantize(raw, ttype, x.size)
+    np.testing.assert_array_equal(recon, full)
+
+
+@pytest.mark.parametrize("ttype", K_QTYPES)
+def test_kquant_zero_block(ttype):
+    y = quant.dequantize(quant.quantize(np.zeros(256, np.float32), ttype),
+                         ttype, 256)
+    np.testing.assert_allclose(y, 0.0, atol=1e-7)

@@ -54,6 +54,35 @@ def test_quant_matmul_3d_input():
     np.testing.assert_allclose(got.reshape(-1, 128), want, rtol=3e-2, atol=3e-2)
 
 
+@pytest.mark.parametrize("ttype", [quant.GGML_TYPE_Q4_1, quant.GGML_TYPE_Q5_1,
+                                   quant.GGML_TYPE_Q2_K, quant.GGML_TYPE_Q3_K,
+                                   quant.GGML_TYPE_Q4_K, quant.GGML_TYPE_Q5_K,
+                                   quant.GGML_TYPE_Q6_K])
+def test_quant_matmul_offset_and_kquant_blocks(ttype):
+    """Offset formats (m operand) and 16-element K-quant sub-blocks run
+    through the same kernel and match the materialized dequant matmul."""
+    n_in, n_out, B = 256, 128, 3
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal((n_out, n_in)).astype(np.float32) * 0.05
+    raw = quant.quantize(w, ttype)
+    q, d, m = quant.dequantize_to_int8_blocks(raw, ttype, w.size)
+    bs = quant.int8_block_size(ttype)
+    has_m = bool(np.any(m))
+    if has_m:
+        qT, dT, mT = repack_for_tpu(q, d, n_out, n_in, m, qblock=bs)
+    else:
+        qT, dT = repack_for_tpu(q, d, n_out, n_in, qblock=bs)
+        mT = None
+    w_deq = quant.dequantize(raw, ttype, w.size).reshape(n_out, n_in)
+    x = rng.standard_normal((B, n_in)).astype(np.float32) * 0.1
+    want = x @ w_deq.T
+    got = np.asarray(quant_matmul(
+        jnp.asarray(x), jnp.asarray(qT), jnp.asarray(dT),
+        jnp.asarray(mT) if mT is not None else None,
+        out_tile=128, qblock=bs))
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
 def test_keep_quantized_model_close_to_dequantized(tmp_path):
     """A Q8_0 checkpoint loaded keep_quantized must produce logits close to
     the dequant-on-load path (only bf16-in-kernel rounding differs)."""

@@ -45,7 +45,7 @@ def ref_harness():
 
 
 def _write_parity_model(path, sharp, n_vocab: int = 51864,
-                        n_text_layer: int = 2):
+                        n_text_layer: int = 2, width: int = 0):
     import dataclasses
     import sys
     sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
@@ -57,6 +57,10 @@ def _write_parity_model(path, sharp, n_vocab: int = 51864,
     # both sides (ggml's f32 conv path aborts in this vendored build)
     hp = dataclasses.replace(tiny_test_hparams(n_vocab=n_vocab),
                              n_text_layer=n_text_layer)
+    if width:
+        hp = dataclasses.replace(
+            hp, n_audio_state=width, n_text_state=width,
+            n_audio_head=max(2, width // 64), n_text_head=max(2, width // 64))
     vocab = synthetic_vocab(hp.n_vocab)
     tensors = _make_test_tensors(hp, ttype=quant.GGML_TYPE_F16)
     if sharp:
@@ -462,6 +466,139 @@ def test_quantized_model_parity(ref_harness, parity_model_sharp,
 
     qpath = tmp_path / f"model-{qtype}.bin"
     quantize_model(parity_model_sharp, str(qpath), qtype)
+
+    pcm = tmp_path / "audio.f32"
+    parity_audio.tofile(pcm)
+    args = ["full", str(qpath), str(pcm),
+            "--max-tokens", str(N_TOK), "--suppress-regex", DECISIVE_REGEX]
+    ref = _only_text(_parse_segments(_run_ref(ref_harness, args,
+                                              cwd=tmp_path)))
+    ours = _only_text(_ours_full(str(qpath), parity_audio))
+    assert ours == ref
+
+
+@pytest.fixture(scope="session")
+def parity_model_k(tmp_path_factory):
+    """d=256 variant: every 2-D attention/MLP weight's row dim divides
+    QK_K=256, so the K-quant super-block codecs apply (the reference tool
+    asserts on non-divisible rows — ggml_quantize_chunk; real models with
+    K-quant support are small/medium/large, d in {768,1024,1280})."""
+    return _write_parity_model(
+        tmp_path_factory.mktemp("parity_k") / "model.bin", sharp=True,
+        width=256)
+
+
+@pytest.fixture(scope="session")
+def ggml_lib(ref_harness):
+    """The reference build's own libggml-base via ctypes — the ground-truth
+    quantization codecs (quantize_row_*_ref / dequantize_row_*)."""
+    import ctypes
+
+    from tests.ref_harness.build import BUILD
+
+    lib = ctypes.CDLL(str(BUILD / "ggml" / "src" / "libggml-base.so"))
+
+    class _InitParams(ctypes.Structure):
+        _fields_ = [("mem_size", ctypes.c_size_t),
+                    ("mem_buffer", ctypes.c_void_p),
+                    ("no_alloc", ctypes.c_bool)]
+
+    lib.ggml_init.restype = ctypes.c_void_p
+    lib.ggml_init.argtypes = [_InitParams]
+    # ggml_init fills the global fp16<->fp32 conversion tables the scalar
+    # codecs read; without it every dequantized value is 0
+    lib.ggml_init(_InitParams(1 << 16, None, True))
+    return lib
+
+
+_KQ_ROWNAMES = {
+    quant.GGML_TYPE_Q2_K: "q2_K", quant.GGML_TYPE_Q3_K: "q3_K",
+    quant.GGML_TYPE_Q4_K: "q4_K", quant.GGML_TYPE_Q5_K: "q5_K",
+    quant.GGML_TYPE_Q6_K: "q6_K",
+}
+
+
+@pytest.mark.parametrize("ttype", list(_KQ_ROWNAMES),
+                         ids=list(_KQ_ROWNAMES.values()))
+def test_kquant_codec_bit_parity(ggml_lib, ttype):
+    """BIT-exact K-quant codec parity against the reference's own ggml:
+    (a) blocks produced by the reference quantizer (quantize_row_X_ref,
+    ggml-quants.c) decode identically through our numpy decoder and the
+    reference's dequantize_row_X; (b) blocks produced by OUR quantizer
+    decode identically through both decoders (container validity)."""
+    import ctypes
+
+    name = _KQ_ROWNAMES[ttype]
+    n = 8 * 256
+    rng = np.random.default_rng(7)
+    x = (rng.standard_normal(n) * 0.25).astype(np.float32)
+    bs, bn = quant.TYPE_TRAITS[ttype]
+
+    def ref_dequant(raw_bytes):
+        buf = np.frombuffer(raw_bytes, np.uint8).copy()
+        y = np.zeros(n, np.float32)
+        getattr(ggml_lib, f"dequantize_row_{name}")(
+            buf.ctypes.data_as(ctypes.c_void_p),
+            y.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(n))
+        return y
+
+    # (a) reference-quantized -> both decoders bit-equal
+    raw_ref = np.zeros(n // bn * bs, np.uint8)
+    getattr(ggml_lib, f"quantize_row_{name}_ref")(
+        x.ctypes.data_as(ctypes.c_void_p),
+        raw_ref.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(n))
+    np.testing.assert_array_equal(
+        quant.dequantize(raw_ref.tobytes(), ttype, n),
+        ref_dequant(raw_ref.tobytes()))
+
+    # (b) our-quantized -> both decoders bit-equal
+    raw_ours = quant.quantize(x, ttype)
+    np.testing.assert_array_equal(
+        quant.dequantize(raw_ours, ttype, n), ref_dequant(raw_ours))
+
+
+@pytest.mark.parametrize("qtype", ["q2_k", "q3_k", "q4_k", "q5_k", "q6_k"])
+def test_kquant_model_parity(ref_harness, parity_model_k, parity_audio,
+                             tmp_path, qtype):
+    """K-quantized end-to-end: OUR quantizer's q*_K .bin loads in the
+    reference binary and yields the identical decisive greedy stream
+    (reference loader src/whisper.cpp:1503-1974 with K-quant vec_dot)."""
+    from whisper_tpu.tools.quantize import quantize_model
+
+    qpath = tmp_path / f"model-{qtype}.bin"
+    log = quantize_model(parity_model_k, str(qpath), qtype)
+    from whisper_tpu.tools.quantize import NAME_TO_TYPE
+    assert sum(1 for t in log.values() if t == NAME_TO_TYPE[qtype]) > 0
+
+    pcm = tmp_path / "audio.f32"
+    parity_audio.tofile(pcm)
+    args = ["full", str(qpath), str(pcm),
+            "--max-tokens", str(N_TOK), "--suppress-regex", DECISIVE_REGEX]
+    ref = _only_text(_parse_segments(_run_ref(ref_harness, args,
+                                              cwd=tmp_path)))
+    ours = _only_text(_ours_full(str(qpath), parity_audio))
+    assert ours == ref
+
+
+def test_kquant_reference_tool_roundtrip(ref_harness, parity_model_k,
+                                         parity_audio, tmp_path):
+    """The REFERENCE's own quantize tool (examples/quantize) produces a
+    q5_k .bin; we load it and match the reference's decisive stream on it
+    — the read-path 'Done' criterion from VERDICT r2 #3."""
+    from tests.ref_harness.build import reference_quantize
+    try:
+        qbin = reference_quantize()
+    except Exception as e:
+        pytest.skip(f"cannot build reference quantize tool: {e}")
+
+    qpath = tmp_path / "model-q5k-reftool.bin"
+    res = subprocess.run([str(qbin), parity_model_k, str(qpath), "q5_k"],
+                         capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stderr[-2000:]
+
+    # our loader must see genuinely K-quantized tensors in the file
+    ck = ggml_io.read_ggml(str(qpath))
+    assert any(rt.ttype == quant.GGML_TYPE_Q5_K for rt in ck.tensors.values())
 
     pcm = tmp_path / "audio.f32"
     parity_audio.tofile(pcm)

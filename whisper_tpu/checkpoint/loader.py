@@ -58,9 +58,13 @@ def _get(t: Dict[str, ggml_io.RawTensor], name: str) -> Optional[np.ndarray]:
     return None if rt is None else rt.to_float32()
 
 
-# zero-offset block formats that can stay quantized on device
-_SYMMETRIC_QTYPES = (quant.GGML_TYPE_Q4_0, quant.GGML_TYPE_Q5_0,
-                     quant.GGML_TYPE_Q8_0)
+# block formats that can stay quantized on device (int8 + per-block scale,
+# plus a per-block offset for the asymmetric codecs)
+_KEEPQ_TYPES = (quant.GGML_TYPE_Q4_0, quant.GGML_TYPE_Q4_1,
+                quant.GGML_TYPE_Q5_0, quant.GGML_TYPE_Q5_1,
+                quant.GGML_TYPE_Q8_0) + quant.K_QUANT_TYPES
+# backwards-compat alias (pre-K-quant name)
+_SYMMETRIC_QTYPES = _KEEPQ_TYPES
 
 
 def _linear(t, prefix: str, has_bias: bool = True,
@@ -69,14 +73,23 @@ def _linear(t, prefix: str, has_bias: bool = True,
     if rt is None:
         return None
     out: Dict[str, np.ndarray]
-    if (keep_quantized and rt.ttype in _SYMMETRIC_QTYPES and len(rt.ne) == 2
-            and rt.ne[0] % 32 == 0):
+    if (keep_quantized and rt.ttype in _KEEPQ_TYPES and len(rt.ne) == 2
+            and rt.ne[0] % quant.block_size(rt.ttype) == 0):
         # keep int8 blocks + scales for the dequant-in-kernel matmul path
         from whisper_tpu.ops.quant_matmul import repack_for_tpu
-        q, d, _m = quant.dequantize_to_int8_blocks(rt.data, rt.ttype, rt.nelements)
+        q, d, m = quant.dequantize_to_int8_blocks(rt.data, rt.ttype, rt.nelements)
         n_out, n_in = rt.shape  # numpy row-major [out, in]
-        qT, dT = repack_for_tpu(q, d, n_out, n_in)
-        out = {"q": qT, "d": dT}
+        bs = quant.int8_block_size(rt.ttype)
+        # offset-or-not is decided by FORMAT (not by the values) so every
+        # layer of a stacked group gets an identical leaf structure
+        if rt.ttype in (quant.GGML_TYPE_Q4_1, quant.GGML_TYPE_Q5_1,
+                        quant.GGML_TYPE_Q2_K, quant.GGML_TYPE_Q4_K,
+                        quant.GGML_TYPE_Q5_K):
+            qT, dT, mT = repack_for_tpu(q, d, n_out, n_in, m, qblock=bs)
+            out = {"q": qT, "d": dT, "m": mT}
+        else:
+            qT, dT = repack_for_tpu(q, d, n_out, n_in, qblock=bs)
+            out = {"q": qT, "d": dT}
     else:
         w = rt.to_float32()
         out = {"w": np.ascontiguousarray(w.T)}  # [out,in] -> [in,out]

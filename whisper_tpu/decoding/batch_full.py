@@ -63,9 +63,13 @@ def run_full_batch(
     # run each utterance through the single-state orchestrator (host loop
     # as loop.py decides); merge semantics are unchanged.
     grammar_dfa = None
+    g_rej_dev = g_trans_dev = None
     if params.grammar_rules is not None:
         from whisper_tpu.decoding.grammar_dfa import cached_dfa
         grammar_dfa = cached_dfa(params.grammar_rules, vocab)
+        if grammar_dfa is not None:
+            # one upload, reused across every window round (ADVICE r2)
+            g_rej_dev, g_trans_dev = grammar_dfa.device_tables()
     if ((params.grammar_rules is not None and grammar_dfa is None)
             or params.logits_filter_callback is not None):
         from whisper_tpu.decoding.loop import run_full
@@ -183,8 +187,8 @@ def run_full_batch(
                 jnp.float32(t_cur), jnp.asarray(seek), jnp.asarray(seek_end),
                 jnp.asarray(needy),
                 jax.random.PRNGKey(rng_seed + it),
-                jnp.asarray(grammar_dfa.reject) if grammar_dfa else None,
-                jnp.asarray(grammar_dfa.trans) if grammar_dfa else None,
+                g_rej_dev,
+                g_trans_dev,
                 jnp.float32(params.grammar_penalty) if grammar_dfa else None,
                 tids=tids, n_utt=B, n_per_utt=K, strategy=strat,
                 max_tokens=params.max_tokens,

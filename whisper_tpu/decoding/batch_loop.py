@@ -241,14 +241,6 @@ def decode_windows_batch(
         tok_tid = st.tok_tid.at[:, i].set(jnp.where(live, tid, st.tok_tid[:, i]))
         sum_lp = jnp.where(live, st.sum_lp + plog_tok, st.sum_lp)
 
-        # grammar accept: table lookup on the sampled token, live rows only
-        # (reference whisper_grammar_accept_token at :7329; in the beam
-        # branch st.gstate is already the forked source state)
-        if grammar_trans is not None:
-            gstate = jnp.where(live, grammar_trans[st.gstate, tok], st.gstate)
-        else:
-            gstate = st.gstate
-
         # per-decoder state machine with PER-ROW seek bounds (:7297-7378)
         has_ts, failed, completed = st.has_ts, st.failed, st.completed
         seek_delta, result_len = st.seek_delta, st.result_len
@@ -263,6 +255,17 @@ def decode_windows_batch(
         has_ts = has_ts | ok_ts
 
         live2 = live & ~regress
+
+        # grammar accept: table lookup on the sampled token (reference
+        # whisper_grammar_accept_token at :7329; in the beam branch
+        # st.gstate is already the forked source state). Gated on live2:
+        # the reference `continue`s past the accept when the token trips
+        # the timestamp-regress failure (:7320-7329).
+        if grammar_trans is not None:
+            gstate = jnp.where(live2, grammar_trans[st.gstate, tok], st.gstate)
+        else:
+            gstate = st.gstate
+
         end_of_audio = has_ts & (seek_row + seek_delta + DELTA_MIN >= seek_end_row)
         hit_max = (max_tokens > 0) & (i >= max_tokens)
         eos = live2 & ((tok == tids.eot) | hit_max | end_of_audio)

@@ -47,7 +47,8 @@ back to the host-stepped loop.
 from __future__ import annotations
 
 import bisect
-from typing import Dict, List, NamedTuple, Optional, Tuple
+import weakref
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -57,11 +58,30 @@ from whisper_tpu.decoding.grammar import (CHAR, CHAR_ALT, CHAR_NOT,
                                           decode_utf8)
 
 
-class GrammarDFA(NamedTuple):
-    reject: np.ndarray              # (S, V) bool
-    trans: np.ndarray               # (S, V) int32
-    start: int
-    n_states: int
+class GrammarDFA:
+    """Compiled token-DFA tables.
+
+    reject: (S, V) bool, trans: (S, V) int32. `device_tables()` returns
+    jnp copies uploaded ONCE and cached on the instance — the trans table
+    alone can reach ~100 MB (512 states x 51865 vocab int32), so per-window
+    re-transfer would dominate the decode's H2D traffic (ADVICE r2)."""
+
+    __slots__ = ("reject", "trans", "start", "n_states", "_dev", "__weakref__")
+
+    def __init__(self, reject: np.ndarray, trans: np.ndarray,
+                 start: int, n_states: int):
+        self.reject = reject
+        self.trans = trans
+        self.start = start
+        self.n_states = n_states
+        self._dev = None
+
+    def device_tables(self):
+        """(reject, trans) as device arrays, uploaded once per DFA."""
+        if self._dev is None:
+            import jax.numpy as jnp
+            self._dev = (jnp.asarray(self.reject), jnp.asarray(self.trans))
+        return self._dev
 
 
 def _char_boundaries(rules) -> List[int]:
@@ -198,6 +218,10 @@ def compile_token_dfa(parsed: ParsedGrammar, vocab,
         return sid
 
     start = intern(canon(scratch.stacks, scratch.partial_utf8))
+    # the decode loops init gstate with jnp.zeros (device_loop/batch_loop);
+    # intern() numbers the start key first, so this holds structurally —
+    # assert it so a future reordering cannot silently desync (ADVICE r2)
+    assert start == 0
     reject_rows: List[np.ndarray] = []
     trans_rows: List[np.ndarray] = []
 
@@ -273,15 +297,15 @@ def compile_token_dfa(parsed: ParsedGrammar, vocab,
 
 
 def cached_dfa(parsed: ParsedGrammar, vocab) -> Optional[GrammarDFA]:
-    """compile_token_dfa memoized on the ParsedGrammar instance (keyed by
-    vocab identity so one grammar object can serve multiple contexts)."""
+    """compile_token_dfa memoized on the ParsedGrammar instance, keyed by a
+    weakref to the vocab: an id()-keyed cache could serve a stale DFA to a
+    new vocab allocated at a recycled address (ADVICE r2)."""
     cache = getattr(parsed, "_dfa_cache", None)
-    vkey = id(vocab)
-    if cache is not None and cache[0] == vkey:
+    if cache is not None and cache[0]() is vocab:
         return cache[1]
     dfa = compile_token_dfa(parsed, vocab)
     try:
-        parsed._dfa_cache = (vkey, dfa)
+        parsed._dfa_cache = (weakref.ref(vocab), dfa)
     except Exception:
         pass
     return dfa

@@ -205,8 +205,6 @@ def decode_window_host(
             tok_ptsum[j, i] = ptsum[j]
             tok_tid[j, i] = tid[j]
             sum_lp[j] += plog_tok[j]
-            if grammars[j] is not None:
-                grammars[j].accept_token(vocab, int(toks[j]))
 
             # state machine (:7297-7378)
             t = int(toks[j])
@@ -218,6 +216,10 @@ def decode_window_host(
                 seek_delta[j] = sd_new
                 result_len[j] = i + 1
                 has_ts[j] = True
+
+            # grammar accept AFTER the regress continue (:7320-7329)
+            if grammars[j] is not None:
+                grammars[j].accept_token(vocab, int(toks[j]))
 
             end_of_audio = has_ts[j] and seek + seek_delta[j] + DELTA_MIN >= seek_end
             if (t == vocab.token_eot

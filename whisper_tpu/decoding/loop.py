@@ -41,9 +41,14 @@ def run_full(state: WhisperState, params: FullParams, samples: Optional[np.ndarr
     # token-level DFA (decoding/grammar_dfa.py) whose reject mask + accept
     # transition ride inside the jitted while_loop as table gathers.
     grammar_dfa = None
+    g_rej_dev = g_trans_dev = None
     if params.grammar_rules is not None:
         from whisper_tpu.decoding.grammar_dfa import cached_dfa
         grammar_dfa = cached_dfa(params.grammar_rules, vocab)
+        if grammar_dfa is not None:
+            # uploaded once and cached on the DFA — the tables can reach
+            # ~100 MB and must not be re-transferred per window (ADVICE r2)
+            g_rej_dev, g_trans_dev = grammar_dfa.device_tables()
 
     # Logits-callback decoding (and grammars too gnarly for the DFA budget,
     # e.g. unboundedly recursive rules) steps logits on the HOST per token
@@ -246,8 +251,8 @@ def run_full(state: WhisperState, params: FullParams, samples: Optional[np.ndarr
                 jnp.asarray(prompt_padded), jnp.int32(prompt_len),
                 jnp.float32(t_cur), jnp.int32(seek), jnp.int32(seek_end),
                 jax.random.PRNGKey(rng_seed + it),
-                jnp.asarray(grammar_dfa.reject) if grammar_dfa else None,
-                jnp.asarray(grammar_dfa.trans) if grammar_dfa else None,
+                g_rej_dev,
+                g_trans_dev,
                 jnp.float32(params.grammar_penalty) if grammar_dfa else None,
                 tids=tids,
                 n_dec=n_dec_cur,

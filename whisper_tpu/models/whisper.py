@@ -13,8 +13,8 @@ _cross :2290-2363, _decoder :2474-2851) for TPU execution:
 - attention mask logic is positional arithmetic, not the reference's
   host-built KQ_mask upload (src/whisper.cpp:2924-2956).
 
-Shape conventions: activations (B, T, D); KV caches (L, B, T, H, Dh);
-weights from checkpoint/loader.py with W as [in, out].
+Shape conventions: activations (B, T, D); KV caches (L, B, H, T, Dh)
+(see KVCache.zeros); weights from checkpoint/loader.py with W as [in, out].
 """
 
 from __future__ import annotations
@@ -41,9 +41,12 @@ def layer_norm(x: jax.Array, p: Params, eps: float = 1e-5) -> jax.Array:
 def linear(x: jax.Array, p: Params) -> jax.Array:
     if "q" in p:
         # int8-block weights resident in HBM; dequant-in-kernel matmul
-        # (ops/quant_matmul.py — the reference's quantized-microkernel idea)
+        # (ops/quant_matmul.py — the reference's quantized-microkernel idea).
+        # block size is in//n_blocks (32 legacy / q4_K-q5_K, 16 for the
+        # 16-element K-quant sub-blocks); "m" present for offset formats
+        qb = p["q"].shape[-2] // p["d"].shape[-2]
         from whisper_tpu.ops.quant_matmul import quant_matmul
-        y = quant_matmul(x, p["q"], p["d"])
+        y = quant_matmul(x, p["q"], p["d"], p.get("m"), qblock=qb)
     else:
         y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32)
     if "b" in p:

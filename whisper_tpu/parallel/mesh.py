@@ -46,12 +46,12 @@ _LN_SPEC = {"scale": P(None, None), "bias": P(None, None)}
 def _lin_spec(leaf: Dict[str, Any], out_sharded: bool, m) -> Dict[str, Any]:
     """Specs for one (stacked) linear leaf dict. Handles both the bf16
     layout {w:(L,in,out), b:(L,out)} and the keep-quantized layout
-    {q:(L,in,out) int8, d:(L,in/32,out) f32}: q/d shard exactly like w —
-    the 32-block scale axis follows the `in` axis."""
+    {q:(L,in,out) int8, d/m:(L,in/bs,out) f32}: q/d/m shard exactly like
+    w — the per-block scale/offset axis follows the `in` axis."""
     wspec = P(None, None, m) if out_sharded else P(None, m, None)
     spec: Dict[str, Any] = {}
     for k in leaf:
-        if k in ("w", "q", "d"):
+        if k in ("w", "q", "d", "m"):
             spec[k] = wspec
         elif k == "b":
             spec[k] = P(None, m) if out_sharded else P(None, None)

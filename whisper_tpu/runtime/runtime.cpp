@@ -107,9 +107,147 @@ static void dequant_block_q8_0(const uint8_t* p, float* out) {
     for (int j = 0; j < 32; ++j) out[j] = qs[j] * d;
 }
 
+// ---------------------------------------------------------------------------
+// K-quant super-blocks, 256 elements (reference dequantize_row_q{2..6}_K,
+// ggml/src/ggml-quants.c:706,1050,1274,1476,1684; layouts ggml-common.h:
+// 255-327). The loop structure mirrors the reference so float multiply
+// order — and therefore the decoded bits — are identical.
+// ---------------------------------------------------------------------------
+#define QK_K 256
+
+static inline void k4_scale_min(int j, const uint8_t* q, uint8_t* d, uint8_t* m) {
+    // reference get_scale_min_k4 (ggml-quants.c:625-633)
+    if (j < 4) {
+        *d = q[j] & 63; *m = q[j + 4] & 63;
+    } else {
+        *d = (q[j + 4] & 0xF) | ((q[j - 4] >> 6) << 4);
+        *m = (q[j + 4] >> 4)  | ((q[j - 0] >> 6) << 4);
+    }
+}
+
+static void dequant_block_q2_K(const uint8_t* p, float* out) {
+    const uint8_t* scales = p;            // 16 bytes: 4-bit scale | min<<4
+    const uint8_t* q = p + 16;            // 64 bytes of 2-bit quants
+    float d    = fp16_to_fp32(*(const uint16_t*)(p + 80));
+    float dmin = fp16_to_fp32(*(const uint16_t*)(p + 82));
+    float* y = out;
+    int is = 0;
+    for (int n = 0; n < QK_K; n += 128) {
+        int shift = 0;
+        for (int j = 0; j < 4; ++j) {
+            uint8_t sc = scales[is++];
+            float dl = d * (sc & 0xF), ml = dmin * (sc >> 4);
+            for (int l = 0; l < 16; ++l) *y++ = dl * ((int8_t)((q[l] >> shift) & 3)) - ml;
+            sc = scales[is++];
+            dl = d * (sc & 0xF); ml = dmin * (sc >> 4);
+            for (int l = 0; l < 16; ++l) *y++ = dl * ((int8_t)((q[l + 16] >> shift) & 3)) - ml;
+            shift += 2;
+        }
+        q += 32;
+    }
+}
+
+static void dequant_block_q3_K(const uint8_t* p, float* out) {
+    const uint8_t* hm = p;                // 32 bytes high-bit mask
+    const uint8_t* q = p + 32;            // 64 bytes of 2-bit quants
+    const uint8_t* sraw = p + 96;         // 12 packed 6-bit scales
+    float d_all = fp16_to_fp32(*(const uint16_t*)(p + 108));
+    // kmask shuffle (ggml-quants.c:1054-1073)
+    uint32_t aux[4];
+    std::memcpy(aux, sraw, 12);
+    const uint32_t km1 = 0x03030303, km2 = 0x0f0f0f0f;
+    uint32_t tmp = aux[2];
+    aux[2] = ((aux[0] >> 4) & km2) | (((tmp >> 4) & km1) << 4);
+    aux[3] = ((aux[1] >> 4) & km2) | (((tmp >> 6) & km1) << 4);
+    aux[0] = (aux[0] & km2) | (((tmp >> 0) & km1) << 4);
+    aux[1] = (aux[1] & km2) | (((tmp >> 2) & km1) << 4);
+    const int8_t* scales = (const int8_t*)aux;
+    float* y = out;
+    int is = 0;
+    uint8_t m = 1;
+    for (int n = 0; n < QK_K; n += 128) {
+        int shift = 0;
+        for (int j = 0; j < 4; ++j) {
+            float dl = d_all * (scales[is++] - 32);
+            for (int l = 0; l < 16; ++l)
+                *y++ = dl * ((int8_t)((q[l] >> shift) & 3) - ((hm[l] & m) ? 0 : 4));
+            dl = d_all * (scales[is++] - 32);
+            for (int l = 0; l < 16; ++l)
+                *y++ = dl * ((int8_t)((q[l + 16] >> shift) & 3) - ((hm[l + 16] & m) ? 0 : 4));
+            shift += 2;
+            m <<= 1;
+        }
+        q += 32;
+    }
+}
+
+static void dequant_block_q4_K(const uint8_t* p, float* out) {
+    float d    = fp16_to_fp32(*(const uint16_t*)p);
+    float dmin = fp16_to_fp32(*(const uint16_t*)(p + 2));
+    const uint8_t* scales = p + 4;
+    const uint8_t* q = p + 16;
+    float* y = out;
+    int is = 0;
+    for (int j = 0; j < QK_K; j += 64) {
+        uint8_t sc, m;
+        k4_scale_min(is + 0, scales, &sc, &m);
+        float d1 = d * sc, m1 = dmin * m;
+        k4_scale_min(is + 1, scales, &sc, &m);
+        float d2 = d * sc, m2 = dmin * m;
+        for (int l = 0; l < 32; ++l) *y++ = d1 * (q[l] & 0xF) - m1;
+        for (int l = 0; l < 32; ++l) *y++ = d2 * (q[l] >> 4)  - m2;
+        q += 32; is += 2;
+    }
+}
+
+static void dequant_block_q5_K(const uint8_t* p, float* out) {
+    float d    = fp16_to_fp32(*(const uint16_t*)p);
+    float dmin = fp16_to_fp32(*(const uint16_t*)(p + 2));
+    const uint8_t* scales = p + 4;
+    const uint8_t* qh = p + 16;
+    const uint8_t* ql = p + 48;
+    float* y = out;
+    int is = 0;
+    uint8_t u1 = 1, u2 = 2;
+    for (int j = 0; j < QK_K; j += 64) {
+        uint8_t sc, m;
+        k4_scale_min(is + 0, scales, &sc, &m);
+        float d1 = d * sc, m1 = dmin * m;
+        k4_scale_min(is + 1, scales, &sc, &m);
+        float d2 = d * sc, m2 = dmin * m;
+        for (int l = 0; l < 32; ++l) *y++ = d1 * ((ql[l] & 0xF) + ((qh[l] & u1) ? 16 : 0)) - m1;
+        for (int l = 0; l < 32; ++l) *y++ = d2 * ((ql[l] >> 4)  + ((qh[l] & u2) ? 16 : 0)) - m2;
+        ql += 32; is += 2;
+        u1 <<= 2; u2 <<= 2;
+    }
+}
+
+static void dequant_block_q6_K(const uint8_t* p, float* out) {
+    const uint8_t* ql = p;
+    const uint8_t* qh = p + 128;
+    const int8_t* sc = (const int8_t*)(p + 192);
+    float d = fp16_to_fp32(*(const uint16_t*)(p + 208));
+    float* y = out;
+    for (int n = 0; n < QK_K; n += 128) {
+        for (int l = 0; l < 32; ++l) {
+            int is = l / 16;
+            int8_t q1 = (int8_t)((ql[l +  0] & 0xF) | (((qh[l] >> 0) & 3) << 4)) - 32;
+            int8_t q2 = (int8_t)((ql[l + 32] & 0xF) | (((qh[l] >> 2) & 3) << 4)) - 32;
+            int8_t q3 = (int8_t)((ql[l +  0] >> 4)  | (((qh[l] >> 4) & 3) << 4)) - 32;
+            int8_t q4 = (int8_t)((ql[l + 32] >> 4)  | (((qh[l] >> 6) & 3) << 4)) - 32;
+            y[l +  0] = d * sc[is + 0] * q1;
+            y[l + 32] = d * sc[is + 2] * q2;
+            y[l + 64] = d * sc[is + 4] * q3;
+            y[l + 96] = d * sc[is + 6] * q4;
+        }
+        y += 128; ql += 64; qh += 32; sc += 8;
+    }
+}
+
 typedef void (*dequant_fn)(const uint8_t*, float*);
 
-// ttype codes match ggml (quant.py): 2=q4_0 3=q4_1 6=q5_0 7=q5_1 8=q8_0 1=f16
+// ttype codes match ggml (quant.py): 2=q4_0 3=q4_1 6=q5_0 7=q5_1 8=q8_0
+// 10..14=q2_K..q6_K 1=f16
 int wtpu_dequantize(int ttype, const uint8_t* in, float* out, int64_t nelems,
                     int n_threads) {
     if (ttype == 1) {  // f16
@@ -118,20 +256,26 @@ int wtpu_dequantize(int ttype, const uint8_t* in, float* out, int64_t nelems,
         return 0;
     }
     dequant_fn fn = nullptr;
-    int bs = 0;
+    int bs = 0;       // block bytes
+    int bn = QK;      // block elements
     switch (ttype) {
         case 2: fn = dequant_block_q4_0; bs = 18; break;
         case 3: fn = dequant_block_q4_1; bs = 20; break;
         case 6: fn = dequant_block_q5_0; bs = 22; break;
         case 7: fn = dequant_block_q5_1; bs = 24; break;
         case 8: fn = dequant_block_q8_0; bs = 34; break;
+        case 10: fn = dequant_block_q2_K; bs = 84;  bn = QK_K; break;
+        case 11: fn = dequant_block_q3_K; bs = 110; bn = QK_K; break;
+        case 12: fn = dequant_block_q4_K; bs = 144; bn = QK_K; break;
+        case 13: fn = dequant_block_q5_K; bs = 176; bn = QK_K; break;
+        case 14: fn = dequant_block_q6_K; bs = 210; bn = QK_K; break;
         default: return -1;
     }
-    int64_t nb = nelems / QK;
-    if (nb * QK != nelems) return -2;
+    int64_t nb = nelems / bn;
+    if (nb * bn != nelems) return -2;
 
     if (n_threads <= 1 || nb < 1024) {
-        for (int64_t b = 0; b < nb; ++b) fn(in + b * bs, out + b * QK);
+        for (int64_t b = 0; b < nb; ++b) fn(in + b * bs, out + b * bn);
         return 0;
     }
     std::atomic<int64_t> next(0);
@@ -141,7 +285,7 @@ int wtpu_dequantize(int ttype, const uint8_t* in, float* out, int64_t nelems,
             int64_t b0 = next.fetch_add(chunk);
             if (b0 >= nb) break;
             int64_t b1 = std::min(b0 + chunk, nb);
-            for (int64_t b = b0; b < b1; ++b) fn(in + b * bs, out + b * QK);
+            for (int64_t b = b0; b < b1; ++b) fn(in + b * bs, out + b * bn);
         }
     };
     std::vector<std::thread> ts;

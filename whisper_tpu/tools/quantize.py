@@ -31,6 +31,12 @@ NAME_TO_TYPE = {
     "q5_0": quant.GGML_TYPE_Q5_0,
     "q5_1": quant.GGML_TYPE_Q5_1,
     "q8_0": quant.GGML_TYPE_Q8_0,
+    # K-quant super-block formats (reference common-ggml.cpp:12-16)
+    "q2_k": quant.GGML_TYPE_Q2_K,
+    "q3_k": quant.GGML_TYPE_Q3_K,
+    "q4_k": quant.GGML_TYPE_Q4_K,
+    "q5_k": quant.GGML_TYPE_Q5_K,
+    "q6_k": quant.GGML_TYPE_Q6_K,
     "f16": quant.GGML_TYPE_F16,
     "f32": quant.GGML_TYPE_F32,
 }
@@ -45,9 +51,13 @@ def quantize_model(in_path: str, out_path: str, qtype_name: str) -> Dict[str, in
     type_log: Dict[str, int] = {}
     for name, rt in ckpt.tensors.items():
         skip = any(re.fullmatch(p, name) for p in SKIP_PATTERNS)
+        # rows must divide the block (256 for K-quants): the reference tool
+        # asserts inside ggml_quantize_chunk; we pass such tensors through
+        # unquantized instead (per-tensor ttypes keep the file loadable)
+        blk = quant.block_size(qtype) if qtype in quant.TYPE_TRAITS else 32
         do_quant = (not skip and len(rt.ne) == 2
                     and rt.ttype in (quant.GGML_TYPE_F32, quant.GGML_TYPE_F16)
-                    and rt.nelements % 32 == 0)
+                    and rt.ne[0] % blk == 0)
         target = qtype if do_quant else rt.ttype
         out_tensors[name] = (rt.to_float32(), target)
         type_log[name] = target
