@@ -610,6 +610,30 @@ def test_kquant_reference_tool_roundtrip(ref_harness, parity_model_k,
     assert ours == ref
 
 
+def test_tid0_quirk_parity(ref_harness, parity_model, parity_audio, tmp_path):
+    """Bug-for-bug tid=0 quirk (retired deviation, VERDICT r2 #7): with
+    timestamps ON but every timestamp token suppressed (DECISIVE_REGEX also
+    matches '[_TT_*]'), the timestamp probability mass is exactly zero, the
+    reference leaves token.tid at its 0 init (src/whisper.cpp:6437) and
+    emits the absurd t0 = seek + 2*(0 - token_beg) = -100726 cs (:7576).
+    Our segments must carry the identical absurd t0/t1."""
+    pcm = tmp_path / "audio.f32"
+    parity_audio.tofile(pcm)
+    out = _run_ref(
+        ref_harness,
+        ["full", parity_model, str(pcm), "--max-tokens", str(N_TOK),
+         "--suppress-regex", DECISIVE_REGEX, "--timestamps"],
+        cwd=tmp_path)
+    ref_segs = _parse_segments(out)
+    assert ref_segs, out
+    our_segs = _ours_full(parity_model, parity_audio, timestamps=True)
+    ref_tt = [(t0, t1) for t0, t1, _ in ref_segs]
+    our_tt = [(t0, t1) for t0, t1, _ in our_segs]
+    assert our_tt == ref_tt, f"ref {ref_tt} vs ours {our_tt}"
+    # the quirk actually fired: the emitted t0 is the absurd negative one
+    assert ref_tt[0][0] < 0
+
+
 def test_token_timestamps_and_dtw_parity(ref_harness, parity_model_semi,
                                          parity_audio, tmp_path):
     """Per-token t0/t1 from the energy heuristic (reference

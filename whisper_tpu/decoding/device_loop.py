@@ -17,10 +17,9 @@ Matching reference semantics:
   (:7297-7378)
 - no_speech_prob from the prompt-pass NOSP logit (:7124-7134)
 
-Deviation (documented): when beam candidates run dry after dedup the
-reference wraps and reuses candidates (:7262-7264); here leftover slots
-re-take the best candidate. Both paths only trigger with degenerate
-distributions (k*k candidates all identical).
+The beam candidate cursor (sort + adjacent-dup skip + wrap-on-exhaustion)
+mirrors the reference machine exactly, including the :7260-7262 wrap —
+see beam_select.
 """
 
 from __future__ import annotations
@@ -52,60 +51,62 @@ BEAM = 2          # beam search (t == 0 under BEAM_SEARCH strategy)
 
 def beam_select(logprobs, live, sum_logprobs, prefix_hash, last_token, i,
                 beam_size: int):
-    """Beam candidate sort + dedup + slot assignment for ONE beam group
-    (reference src/whisper.cpp:7239-7290): top-k per live decoder, global
-    sort by cumulative logprob (stable — ties keep lower decoder index,
-    matching the reference comparator), skip candidates equal to an already
-    -selected sequence (only when i > 0, the reference's `&& i > 0` at
-    :7265), assign the nth surviving candidate to the nth live slot.
+    """Beam candidate sort + slot assignment for ONE beam group, exactly
+    mirroring the reference cursor machine (src/whisper.cpp:7239-7290):
+
+    - top-k candidates per LIVE decoder, one global sort by cumulative
+      logprob desc with ties to the lower decoder index (:7240-7248) —
+      dead decoders contribute no candidates;
+    - a single cursor walks the sorted list; each live slot takes the
+      candidate at the cursor, then the cursor skips past immediately
+      following candidates whose full token sequence equals the one just
+      taken (the `while ... tokens_equal ... && i > 0` at :7265-7267;
+      equal sequences have equal scores, so they are always adjacent);
+    - when the cursor runs off the end it WRAPS to 0 and reuses
+      candidates (:7260-7262) — reachable only with degenerate
+      distributions (> n_cand duplicates).
+
+    Sequence equality is a rolling 32-bit hash of the token vector
+    (prefix_hash * HASH_MULT + tok), collision odds ~2^-32 per step.
 
     Shapes are per-group: logprobs (K, V), the rest (K,). Returns
-    (src, tok): source slot to fork from and sampled token per slot — local
-    indices, so the multi-utterance loop can vmap this over utterance
-    groups and offset src afterwards. Deviation (documented): when dedup
-    exhausts candidates the reference wraps and reuses them (:7260-7264);
-    here leftover slots re-take the best candidate. Both only trigger on
-    degenerate distributions.
+    (src, tok): source slot to fork from and sampled token per slot —
+    local indices, so the multi-utterance loop can vmap this over
+    utterance groups and offset src afterwards.
     """
     B = logprobs.shape[0]
     k = beam_size
+    nc_max = B * k
     top_lp, top_id = lax.top_k(logprobs, k)                 # (B, k)
     cand_score = (sum_logprobs[:, None] + top_lp).reshape(-1)
-    cand_score = jnp.where(jnp.repeat(live, k), cand_score, NEG_INF)
+    cand_dead = jnp.repeat(~live, k)
     cand_tok = top_id.reshape(-1).astype(jnp.int32)
     cand_src = jnp.repeat(jnp.arange(B), k)
     cand_hash = prefix_hash[cand_src] * HASH_MULT + cand_tok.astype(jnp.uint32)
 
-    order = jnp.argsort(-cand_score, stable=True)           # ties: lower idx first
+    # primary: live first; secondary: score desc; stable -> lower decoder
+    # index on ties (the reference comparator, :7243-7248)
+    order = jnp.lexsort((-cand_score, cand_dead))
+    n_cand = jnp.sum((~cand_dead).astype(jnp.int32))
 
-    n_live = jnp.sum(live.astype(jnp.int32))
-
-    def sel_body(c, sel):
-        count, s_src, s_tok, s_hash = sel
-        idx = order[c]
+    def slot(j, carry):
+        c, s_src, s_tok = carry
+        c0 = jnp.where(c >= n_cand, 0, c)                   # wrap (:7260)
+        idx = order[c0]
         h = cand_hash[idx]
-        dup = jnp.any((s_hash == h) & (jnp.arange(B) < count)) & (i > 0)
-        ok = (cand_score[idx] > NEG_INF) & ~dup & (count < n_live)
-        s_src = jnp.where(ok, s_src.at[count].set(cand_src[idx]), s_src)
-        s_tok = jnp.where(ok, s_tok.at[count].set(cand_tok[idx]), s_tok)
-        s_hash = jnp.where(ok, s_hash.at[count].set(h), s_hash)
-        return (count + ok.astype(jnp.int32), s_src, s_tok, s_hash)
 
-    count, s_src, s_tok, s_hash = lax.fori_loop(
-        0, B * k, sel_body,
-        (jnp.int32(0),
-         jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32),
-         jnp.zeros(B, jnp.uint32)))
-    # leftover slots (dedup exhausted candidates): reuse best candidate
-    best = order[0]
-    rank_ok = jnp.arange(B) < count
-    s_src = jnp.where(rank_ok, s_src, cand_src[best])
-    s_tok = jnp.where(rank_ok, s_tok, cand_tok[best])
+        def skip_cond(cc):
+            nxt = order[jnp.minimum(cc, nc_max - 1)]
+            return (cc < n_cand) & (cand_hash[nxt] == h) & (i > 0)
 
-    # map nth selected candidate -> nth live decoder slot
-    rank = jnp.cumsum(live.astype(jnp.int32)) - 1           # rank among live
-    src = jnp.where(live, s_src[jnp.clip(rank, 0, B - 1)], jnp.arange(B))
-    tok = jnp.where(live, s_tok[jnp.clip(rank, 0, B - 1)], last_token)
+        cc = lax.while_loop(skip_cond, lambda cc: cc + 1, c0 + 1)
+        ok = live[j]
+        s_src = s_src.at[j].set(jnp.where(ok, cand_src[idx], s_src[j]))
+        s_tok = s_tok.at[j].set(jnp.where(ok, cand_tok[idx], s_tok[j]))
+        return (jnp.where(ok, cc, c), s_src, s_tok)
+
+    _, src, tok = lax.fori_loop(
+        0, B, slot, (jnp.int32(0), jnp.arange(B), last_token))
     return src, tok
 
 

@@ -221,12 +221,13 @@ def timestamp_stats(probs: jax.Array, tid_consts: TokenIds):
     ts_probs = jnp.where(is_ts[None, :], probs, 0.0)
     ptsum = jnp.sum(ts_probs, axis=-1)
     max_ts = jnp.max(ts_probs, axis=-1)
-    # Documented deviation: when the timestamp mass is all-zero (f32
-    # underflow, or a suppress_regex that kills every timestamp token) the
-    # reference leaves tid at its 0 initialization (:6437) and its segment
-    # emission then computes t0 = seek + 2*(0 - token_beg) = seek - 100726
-    # centiseconds (:7576) — an absurd negative timestamp. We default to
-    # BEG instead so t0 degrades to `seek`.
-    tid = jnp.where(max_ts > 0, jnp.argmax(ts_probs, axis=-1), tid_consts.beg)
+    # Bug-for-bug: when the timestamp mass is all-zero (f32 underflow, or a
+    # suppress_regex that kills every timestamp token) the reference leaves
+    # tid at its 0 initialization (:6437) and segment emission computes
+    # t0 = seek + 2*(0 - token_beg) = seek - 100726 centiseconds (:7576).
+    # argmax over the all-zero row returns index 0 — exactly that quirk
+    # (and on non-zero rows, the first maximal index, matching the
+    # strict `<` scan at :6455-6459).
+    tid = jnp.argmax(ts_probs, axis=-1).astype(jnp.int32)
     pt = max_ts / (ptsum + 1e-10)
     return pt, ptsum, tid

@@ -141,22 +141,24 @@ def decode_window_host(
             cands.sort(key=lambda c: (-c[0], c[1]))
             live_slots = [j for j in range(B) if live[j]]
             chosen = []
-            seen_seqs = []
             ci = 0
+            # reference cursor machine (:7250-7290): wrap on exhaustion,
+            # then skip immediately following candidates whose full token
+            # sequence equals the one just taken (equal sequences have
+            # equal scores, so they are always adjacent after the sort)
             for _slot in live_slots:
-                while ci < len(cands):
-                    sc, src, tk, pl = cands[ci]
-                    seq = tokens[src, :i].tolist() + [tk]
-                    if i > 0 and seq in seen_seqs:
-                        ci += 1
-                        continue
-                    break
                 if ci >= len(cands):
-                    sc, src, tk, pl = cands[0]
-                    seq = tokens[src, :i].tolist() + [tk]
-                chosen.append((src, tk))
-                seen_seqs.append(seq)
+                    ci = 0                                  # wrap (:7260)
+                sc, src, tk, pl = cands[ci]
+                cur_seq = tokens[src, :i].tolist() + [tk]
                 ci += 1
+                while ci < len(cands) and i > 0:            # :7265-7267
+                    _, src2, tk2, _ = cands[ci]
+                    if tokens[src2, :i].tolist() + [tk2] == cur_seq:
+                        ci += 1
+                    else:
+                        break
+                chosen.append((src, tk))
             # fork: gather per-decoder state from source beams
             srcs = np.arange(B)
             for slot, (src, tk) in zip(live_slots, chosen):
