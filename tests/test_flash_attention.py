@@ -38,3 +38,11 @@ def test_bf16_path():
     ref = np.asarray(attention(q, q, q), np.float32)
     got = np.asarray(flash_attention(q, q, q, block_q=128), np.float32)
     np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_flash_attention_ab_check_cpu():
+    """The runtime A/B self-check (utils/selfcheck) is conclusive on CPU
+    (interpret-mode Pallas) and must pass against the XLA reference."""
+    from whisper_tpu.utils.selfcheck import flash_attention_ab_check
+    ok, err = flash_attention_ab_check()
+    assert ok is True, err
