@@ -485,20 +485,18 @@ def map_processed_to_original_time(t: int, mapping: List[Tuple[int, int]]) -> in
 
 
 def remap_segment_times(segment, mapping: List[Tuple[int, int]]) -> None:
-    """Remap a segment's t0/t1 (and token times) through the VAD mapping
-    (reference whisper_full_get_segment_t{0,1}_from_state, :7925-7961)."""
+    """Remap a segment's t0/t1 through the VAD mapping (reference
+    whisper_full_get_segment_t{0,1}_from_state, :7925-7961, including the
+    10-unit minimum-duration clamp). Token-level times (t0/t1/t_dtw) are
+    intentionally NOT remapped: the reference's token-data getters return
+    the raw processed-time values (whisper_full_get_token_data just reads
+    result_all), so its JSON-full output mixes remapped segment times with
+    processed token times — bug-for-bug."""
     t0 = map_processed_to_original_time(segment.t0, mapping)
     t1 = map_processed_to_original_time(segment.t1, mapping)
     if t1 - t0 < 10:
         t1 = t0 + 10
     segment.t0, segment.t1 = t0, t1
-    for td in segment.tokens:
-        if td.t0 >= 0:
-            td.t0 = map_processed_to_original_time(td.t0, mapping)
-        if td.t1 >= 0:
-            td.t1 = map_processed_to_original_time(td.t1, mapping)
-        if td.t_dtw >= 0:
-            td.t_dtw = map_processed_to_original_time(td.t_dtw, mapping)
 
 
 def vad_segments_from_samples(model: VadModel, samples: np.ndarray,
