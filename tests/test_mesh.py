@@ -83,3 +83,18 @@ def test_param_specs_cover_quantized_layout(tp_model):
     sharded = mesh_mod.shard_params(params, mesh, tp=True)  # must not raise
     assert sharded["decoder"]["blocks"]["mlp_0"]["q"].sharding.spec == \
         P(None, None, "model")
+
+
+def test_tp_evidence_sharded_compile_tiny():
+    """tp_evidence's sharded AOT pipeline (fast variant at tiny dims; the
+    large-v3 run is tools/tp_evidence.py -> MULTICHIP_TP_r03.json):
+    TP=2 must halve per-shard argument bytes and insert collectives."""
+    from whisper_tpu.tools.tp_evidence import tp_compile_evidence
+
+    r1 = tp_compile_evidence(1, preset="tiny", beam=2)
+    r2 = tp_compile_evidence(2, preset="tiny", beam=2)
+    for phase in ("encoder", "decode_beam2"):
+        a1, a2 = r1[phase]["args_gb"], r2[phase]["args_gb"]
+        assert a2 < 0.7 * a1, (phase, a1, a2)
+        assert not r1[phase]["collectives"], r1[phase]
+        assert r2[phase]["collectives"].get("all-reduce", 0) > 0, r2[phase]

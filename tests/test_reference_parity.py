@@ -185,6 +185,21 @@ TOKENIZE_CORPUS = [
     "   leading spaces and\ttabs",
     "don't it's we're I'll they've",     # apostrophe contractions
     "emoji 🚀 test ©®™",
+    # Unicode classes where [^\W\d_] could diverge from \p{L} (VERDICT r2
+    # weak #6): Lt titlecase digraphs, Lm modifier letters, Mn combining
+    # marks mid-word, non-Latin Nd digits, mixed-script digit/letter runs
+    "ǅungla ǈubljana ǋegoš Ǳur",                # Lt titlecase (ǅ ǈ ǋ ǲ)
+    "weakʰ aːt ᵒᵏ ʻokina ˈstress",              # Lm modifier letters
+    "café vélo ñ äb",   # Mn combining after letters
+    "٠١٢٣ ٤٥ arabic ٩ digits",                  # Arabic-Indic Nd
+    "देवनागरी १२३४ अंक ९",                      # Devanagari letters + Nd
+    "বাংলা সংখ্যা ০১২ ৯",                       # Bengali + Nd
+    "๓ thai ๑๒๓ ໐ lao",                          # Thai/Lao Nd
+    "Ⅷ roman Ⅻ ⅔ fraction",                     # Nl/No numerals (non-Nd)
+    "ŉandu ǌever ẛoft ﬁle ﬆop",                 # deprecated Lm/ligatures
+    "Ωμέγα ΔΈΛΤΑ ŉ ǰ",                           # Greek + odd case forms
+    "한국어１２３全角ＡＢＣ digits",             # fullwidth Nd/latin
+    "ر‌بط zero-width ‍ joiners",                 # ZWNJ/ZWJ (Cf) mid-text
     "",
 ]
 

@@ -69,11 +69,16 @@ def _blocks_specs(blocks: Dict[str, Any], tp: bool) -> Dict[str, Any]:
     return out
 
 
-def param_specs(params: Dict[str, Any], tp: bool = True) -> Dict[str, Any]:
+def param_specs(params: Dict[str, Any], tp: bool = True,
+                n_model: int = 0) -> Dict[str, Any]:
     """PartitionSpec pytree matching checkpoint/loader.py's layout
     (built from the actual params so bf16 and keep-quantized layouts both
-    shard correctly)."""
+    shard correctly). Pass n_model to replicate the token embedding when
+    the vocab (51865/51866 — both 2x prime) doesn't divide the TP degree;
+    every other sharded axis is a multiple of d (>= 64-divisible)."""
     m = "model" if tp else None
+    vocab_rows = params["decoder"]["token_embed"].shape[0]
+    emb_m = m if (not n_model or vocab_rows % n_model == 0) else None
     enc_blocks = _blocks_specs(params["encoder"]["blocks"], tp)
     dec_blocks = _blocks_specs(params["decoder"]["blocks"], tp)
     return {
@@ -87,7 +92,8 @@ def param_specs(params: Dict[str, Any], tp: bool = True) -> Dict[str, Any]:
         "decoder": {
             "pos_embed": P(None, None),
             # vocab-dim sharding: the logits matmul all-gathers over model
-            "token_embed": P(m, None),
+            # (replicated instead when vocab %% TP != 0, e.g. TP=4)
+            "token_embed": P(emb_m, None),
             "ln": {"scale": P(None), "bias": P(None)},
             "blocks": dec_blocks,
         },
@@ -96,7 +102,8 @@ def param_specs(params: Dict[str, Any], tp: bool = True) -> Dict[str, Any]:
 
 def shard_params(params: Dict[str, Any], mesh: Mesh, tp: bool = True) -> Dict[str, Any]:
     """Place the parameter pytree on the mesh with TP shardings."""
-    specs = param_specs(params, tp=tp and mesh.shape["model"] > 1)
+    specs = param_specs(params, tp=tp and mesh.shape["model"] > 1,
+                        n_model=mesh.shape["model"])
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         params, specs,

@@ -1,0 +1,150 @@
+"""Large-v3 tensor-parallel compiled evidence (VERDICT r2 #5).
+
+AOT-compiles the SHARDED large-v3 programs — the encoder and the full
+batched beam-5 decode window (decoding/batch_loop.py, the lax.while_loop
+included) — over a (data=1, model=TP) mesh for TP in {1, 2, 4}, entirely
+from abstract shapes (no weights materialized). For each TP degree it
+reports:
+
+  - per-shard argument/temp bytes from XLA's memory_analysis() — for an
+    SPMD executable these are PER-DEVICE numbers, so they must drop as TP
+    grows (the north-star check: per-chip HBM below the 3.96 GB
+    single-chip beam-5 footprint from BENCH_r02);
+  - collective-op counts from the optimized HLO (all-reduce/all-gather/
+    reduce-scatter/collective-permute), placed where parallel/mesh.py's
+    Megatron specs predict them (one psum per attention out-projection +
+    one per MLP second matmul, SURVEY §2.7 TP row).
+
+Run on virtual CPU devices (the compiler's partitioner is identical for
+CPU/TPU targets at this level):
+
+    XLA_FLAGS=--xla_force_host_platform_device_count=4 JAX_PLATFORMS=cpu \
+        python -m whisper_tpu.tools.tp_evidence
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+
+def _abs_sharded_params(hp, mesh, tp: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+
+    from whisper_tpu.checkpoint.init import random_params
+    from whisper_tpu.parallel import mesh as mesh_mod
+
+    shapes = jax.eval_shape(
+        lambda: jax.tree_util.tree_map(
+            jnp.asarray, random_params(hp, seed=0, compute_dtype="bfloat16")))
+    specs = mesh_mod.param_specs(shapes, tp=tp, n_model=mesh.shape["model"])
+    return jax.tree_util.tree_map(
+        lambda s, sp: jax.ShapeDtypeStruct(
+            s.shape, s.dtype, sharding=NamedSharding(mesh, sp)),
+        shapes, specs,
+        is_leaf=lambda x: not isinstance(x, dict),
+    )
+
+
+_COLLECTIVES = ("all-reduce", "all-gather", "reduce-scatter",
+                "collective-permute", "all-to-all")
+
+
+def _report(compiled) -> dict:
+    m = compiled.memory_analysis()
+    hlo = compiled.as_text()
+    coll = {}
+    for c in _COLLECTIVES:
+        n = len(re.findall(rf"\b{c}(?:-start|-done)?\(", hlo))
+        if n:
+            coll[c] = n
+    return {
+        "args_gb": round(m.argument_size_in_bytes / 2**30, 3),
+        "temp_gb": round(m.temp_size_in_bytes / 2**30, 3),
+        "out_mb": round(m.output_size_in_bytes / 2**20, 3),
+        "collectives": coll,
+    }
+
+
+def tp_compile_evidence(tp: int, preset: str = "large-v3",
+                        beam: int = 5) -> dict:
+    """Compile sharded encoder + batched beam decode at `preset` dims with
+    TP-way model parallelism; return per-shard memory + collective counts."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from whisper_tpu.config import (FullParams, PRESET_HPARAMS,
+                                    SamplingStrategy)
+    from whisper_tpu.decoding import batch_loop, device_loop, filters
+    from whisper_tpu.models import whisper as model_mod
+    from whisper_tpu.parallel import mesh as mesh_mod
+    from whisper_tpu.tokenizer import synthetic_vocab
+
+    hp = PRESET_HPARAMS[preset]
+    assert hp.n_text_head % tp == 0, (hp.n_text_head, tp)
+    mesh = mesh_mod.make_mesh(1, tp)
+    abs_params = _abs_sharded_params(hp, mesh, tp=tp > 1)
+
+    vocab = synthetic_vocab(hp.n_vocab)
+    consts, tids = filters.build_filter_consts(
+        vocab, hp, FullParams.default(SamplingStrategy.BEAM_SEARCH))
+
+    def sds(shape, dtype, spec=None):
+        return jax.ShapeDtypeStruct(
+            shape, dtype,
+            sharding=NamedSharding(mesh, spec if spec is not None else P()))
+
+    L, H = hp.n_text_layer, hp.n_text_head
+    dh = hp.n_text_state // H
+    i32, f32, bf16 = jnp.int32, jnp.float32, jnp.bfloat16
+
+    out = {"tp": tp, "preset": preset}
+
+    # --- sharded encoder (XLA SDPA attention; the partitioner handles the
+    # head-sharded projections + psum on the out-projection) --------------
+    from whisper_tpu.api import _encode_jit
+    with mesh:
+        enc = _encode_jit.lower(
+            abs_params, hp,
+            sds((1, hp.n_mels, 2 * hp.n_audio_ctx), bf16),
+            bf16, False).compile()
+    out["encoder"] = _report(enc)
+
+    # --- sharded batched beam decode window (the real serving program:
+    # U=1 utterance x K=beam rows; cross-KV head-sharded over model) ------
+    ck = sds((L, 1, H, hp.n_audio_ctx, dh), bf16,
+             P(None, None, "model", None, None))
+    prompt_max = hp.n_text_ctx // 2 + 8
+    with mesh:
+        dec = batch_loop.decode_windows_batch.lower(
+            abs_params, hp, consts, ck, ck,
+            sds((1, prompt_max), i32), sds((1,), i32),
+            sds((), f32), sds((1,), i32), sds((1,), i32),
+            sds((1,), jnp.bool_),
+            sds((2,), jnp.uint32),
+            tids=tids, n_utt=1, n_per_utt=beam,
+            strategy=device_loop.BEAM,
+            dtype=bf16).compile()
+    out["decode_beam%d" % beam] = _report(dec)
+    return out
+
+
+def main() -> int:
+    import os
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+    # sitecustomize on relayed-TPU boxes rewrites jax_platforms at import
+    # time; virtual-device partitioning evidence must run on CPU
+    jax.config.update("jax_platforms", "cpu")
+    n = len(jax.devices())
+    degrees = [d for d in (1, 2, 4) if d <= n]
+    results = [tp_compile_evidence(tp) for tp in degrees]
+    print(json.dumps(results, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
