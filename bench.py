@@ -89,10 +89,13 @@ V5E_PEAK_TFLOPS = 197.0  # bf16
 V5E_HBM_GBPS = 819.0
 
 
-# (d, L): width and layer count; audio/text dims coincide for whisper
+# (d, L_enc, L_dec): width and encoder/decoder layer counts (equal for
+# the classic family; large-v3-turbo keeps the 32-layer encoder but
+# distils the decoder to 4 layers)
 PRESET_DIMS = {
-    "tiny": (384, 4), "base": (512, 6), "small": (768, 12),
-    "medium": (1024, 24), "large-v3": (1280, 32),
+    "tiny": (384, 4, 4), "base": (512, 6, 6), "small": (768, 12, 12),
+    "medium": (1024, 24, 24), "large-v3": (1280, 32, 32),
+    "large-v3-turbo": (1280, 32, 4),
 }
 # V100 CUDA FA=0 measured baselines: Enc ms, Dec ms/tok, Bch5 ms/tok·row
 # (reference scripts/bench-all-gg.txt:256-264; large-v2 row stands in for
@@ -101,6 +104,7 @@ V100_MS = {
     "tiny": (6.15, 1.02, 0.30), "base": (10.60, 1.43, 0.43),
     "small": (31.83, 2.82, 0.87), "medium": (81.30, 6.02, 1.81),
     "large-v3": (134.81, 8.64, 2.69),
+    "large-v3-turbo": (124.42, 1.37, None),   # bench-all-gg.txt:266
 }
 
 
@@ -114,18 +118,18 @@ def analytic_roofline() -> dict:
     against the reference's measured V100 numbers (bench-all-gg.txt)."""
     T, V, SK_T = 1500, 51865, 512   # enc frames, vocab, padded self-KV len
     out = {}
-    for preset, (d, L) in PRESET_DIMS.items():
-        enc_flops = L * (24 * T * d * d + 4 * T * T * d)
+    for preset, (d, Le, Ld) in PRESET_DIMS.items():
+        enc_flops = Le * (24 * T * d * d + 4 * T * T * d)
         enc_sol = enc_flops / (V5E_PEAK_TFLOPS * 1e12) * 1e3          # ms
         # decode: every token reads weights + cross-KV + self-KV (bf16)
-        w_b = (16 * L * d * d + V * d) * 2
-        ck_b = 2 * L * T * d * 2
-        sk_b = 2 * L * SK_T * d * 2
+        w_b = (16 * Ld * d * d + V * d) * 2
+        ck_b = 2 * Ld * T * d * 2
+        sk_b = 2 * Ld * SK_T * d * 2
         dec_sol = (w_b + ck_b + sk_b) / (V5E_HBM_GBPS * 1e9) * 1e3    # ms/tok
         # beam-5: weights + shared cross-KV amortize over 5 rows
         bch5_sol = (w_b + ck_b + 5 * sk_b) / 5 / (V5E_HBM_GBPS * 1e9) * 1e3
         # prompt processing: MXU-bound batched matmuls per token
-        pp_flops = 2 * (14 * L * d * d + 2 * L * T * d)
+        pp_flops = 2 * (14 * Ld * d * d + 2 * Ld * T * d)
         pp_sol = pp_flops / (V5E_PEAK_TFLOPS * 1e12) * 1e3
         rtf_sol = 30.0 / ((enc_sol + N_TOK * dec_sol) / 1e3)
         enc_exp, dec_exp, bch5_exp = enc_sol / 0.5, dec_sol / 0.7, bch5_sol / 0.7
@@ -143,11 +147,12 @@ def analytic_roofline() -> dict:
         if preset in V100_MS:
             e, dctok, b5 = V100_MS[preset]
             row["vs_v100_sol"] = {"enc": round(e / enc_sol, 1),
-                                  "dec": round(dctok / dec_sol, 1),
-                                  "bch5": round(b5 / bch5_sol, 1)}
+                                  "dec": round(dctok / dec_sol, 1)}
             row["vs_v100_expected"] = {"enc": round(e / enc_exp, 1),
-                                       "dec": round(dctok / dec_exp, 1),
-                                       "bch5": round(b5 / bch5_exp, 1)}
+                                       "dec": round(dctok / dec_exp, 1)}
+            if b5 is not None:
+                row["vs_v100_sol"]["bch5"] = round(b5 / bch5_sol, 1)
+                row["vs_v100_expected"]["bch5"] = round(b5 / bch5_exp, 1)
         out[preset] = row
     return out
 

@@ -123,3 +123,43 @@ def test_keep_quantized_model_close_to_dequantized(tmp_path):
     p.temperature_inc = 0.0
     rng = np.random.default_rng(0)
     assert st.full(p, (0.1 * rng.standard_normal(32000)).astype(np.float32)) == 0
+
+
+def test_kquant_keep_quantized_end_to_end(tmp_path):
+    """A q5_K checkpoint (256-divisible dims) served keep_quantized: the
+    16/32-element sub-block repack + offset operand flow through the
+    int8 kernel inside a real full() decode."""
+    import dataclasses
+    import sys
+    sys.path.insert(0, "tests")
+    from test_ggml_io import _make_test_tensors
+    import whisper_tpu as wt
+    from whisper_tpu.audio.mel import mel_filterbank
+    from whisper_tpu.checkpoint import ggml_io
+    from whisper_tpu.checkpoint.init import tiny_test_hparams
+    from whisper_tpu.config import ContextParams, FullParams
+    from whisper_tpu.tokenizer import synthetic_vocab
+    from whisper_tpu.tools.quantize import quantize_model
+
+    hp = dataclasses.replace(tiny_test_hparams(), n_audio_state=256,
+                             n_text_state=256, n_audio_head=4, n_text_head=4)
+    f16 = str(tmp_path / "m.bin")
+    ggml_io.write_ggml(f16, hp, mel_filterbank(80),
+                       synthetic_vocab(hp.n_vocab).id_to_token[:50256],
+                       _make_test_tensors(hp, ttype=quant.GGML_TYPE_F16))
+    q5k = str(tmp_path / "m-q5k.bin")
+    log = quantize_model(f16, q5k, "q5_k")
+    assert any(t == quant.GGML_TYPE_Q5_K for t in log.values())
+
+    ctx = wt.WhisperContext.new_with_params(
+        q5k, ContextParams(keep_quantized=True))
+    # q5_K leaves carry the offset operand
+    leaf = ctx.params["decoder"]["blocks"]["mlp_0"]
+    assert "q" in leaf and "m" in leaf
+    st = ctx.create_state()
+    p = FullParams.default()
+    p.print_progress = False
+    p.temperature_inc = 0.0
+    rng = np.random.default_rng(0)
+    assert st.full(p, (0.1 * rng.standard_normal(32000)).astype(np.float32)) == 0
+    assert st.full_n_segments() >= 1
