@@ -71,10 +71,13 @@ def test_param_specs_cover_quantized_layout(tp_model):
     blk["mlp_0"]["q"] = np.zeros(w.shape, np.int8)
     blk["mlp_0"]["d"] = np.zeros((w.shape[0], w.shape[1] // 32, w.shape[2]),
                                  np.float32)
+    # offset formats (q4_1/q5_1/q2_K/q4_K/q5_K) add an "m" leaf — same spec
+    blk["mlp_0"]["m"] = np.zeros_like(blk["mlp_0"]["d"])
     specs = mesh_mod.param_specs(params, tp=True)
     s = specs["decoder"]["blocks"]["mlp_0"]
     assert s["q"] == P(None, None, "model")
     assert s["d"] == P(None, None, "model")
+    assert s["m"] == P(None, None, "model")
     assert s["b"] == P(None, "model")
     # input-sharded role
     assert specs["decoder"]["blocks"]["mlp_2"]["w"] == P(None, "model", None)
