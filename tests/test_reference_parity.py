@@ -200,6 +200,14 @@ TOKENIZE_CORPUS = [
     "Ωμέγα ΔΈΛΤΑ ŉ ǰ",                           # Greek + odd case forms
     "한국어１２３全角ＡＢＣ digits",             # fullwidth Nd/latin
     "ر‌بط zero-width ‍ joiners",                 # ZWNJ/ZWJ (Cf) mid-text
+    # byte-level split semantics (r3): the reference's std::regex runs over
+    # bytes in the C locale, so "_" joins the punctuation run and ASCII
+    # letters break at non-ASCII ones ("caf|é"). The old Unicode-class
+    # approximation dropped "_" and kept mixed runs whole.
+    "a_b __init__ _ snake_case_name x_",        # underscores (in \w, not :alpha:)
+    "café xЖy aΩb ŽivaN half-ЛАТ mix",          # ASCII/non-ASCII letter boundaries
+    "Ａb ｃＤ fullwidth-ascii mix ５6",          # fullwidth letters/digits + ASCII
+    "١2 mix ٣4 digit-boundaries ５١",           # ASCII/non-ASCII digit boundaries
     "",
 ]
 

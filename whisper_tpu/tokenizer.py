@@ -21,15 +21,21 @@ from typing import Dict, List, Optional, Sequence
 
 from whisper_tpu import languages
 
-# GPT-2 word-split pattern (reference src/whisper.cpp:3293). Python `re` has
-# no \p{L}/\p{N}; `[^\W\d_]` matches unicode letters, `\d` unicode digits.
+# GPT-2 word-split pattern (reference src/whisper.cpp:3285-3295). The
+# reference comment cites the Unicode \p{L}/\p{N} pattern, but the code it
+# actually runs is `std::regex` over the raw *bytes* of a std::string in the
+# default "C" locale, where `[[:alpha:]]` is [A-Za-z], `[[:digit:]]` is
+# [0-9], and `\s` is ASCII whitespace — every byte >= 0x80 (all non-ASCII
+# text) falls into the `[^\s[:alpha:][:digit:]]` catch-all run. A Python
+# bytes-regex reproduces those byte-level semantics exactly (an earlier
+# revision used Unicode classes `[^\W\d_]`/`\d`, which provably diverges on
+# mixed ASCII/non-ASCII words like "café" and drops "_" entirely).
 _SPLIT_RE = re.compile(
-    r"'s|'t|'re|'ve|'m|'ll|'d"
-    r"| ?[^\W\d_]+"
-    r"| ?\d+"
-    r"| ?[^\s\w]+"
-    r"|\s+(?!\S)|\s+",
-    re.UNICODE,
+    rb"'s|'t|'re|'ve|'m|'ll|'d"
+    rb"| ?[A-Za-z]+"
+    rb"| ?[0-9]+"
+    rb"| ?[^\sA-Za-z0-9]+"
+    rb"|\s+(?!\S)|\s+"
 )
 
 
@@ -125,8 +131,8 @@ class Tokenizer:
     def encode(self, text: str) -> List[int]:
         """reference tokenize() (src/whisper.cpp:3288-3336)."""
         out: List[int] = []
-        for m in _SPLIT_RE.finditer(text):
-            word = m.group(0).encode("utf-8")
+        for m in _SPLIT_RE.finditer(text.encode("utf-8")):
+            word = m.group(0)
             if not word:
                 continue
             i, n = 0, len(word)
