@@ -116,7 +116,7 @@ def test_micro_bench_cpu(capsys):
 
     assert main(["--mib", "8", "--sizes", "256"]) == 0
     out = json.loads(capsys.readouterr().out)
-    assert out["membw_gbps"] > 0.1
+    assert out["membw_gbps"] > 0
     # fusion/folding guard: a slope-timed roll chain can't exceed any
     # plausible memory system by orders of magnitude
     assert out["membw_gbps"] < 100000.0

@@ -151,7 +151,7 @@ def main(argv=None) -> int:
         "device": str(dev),
         "timing_reliable": bool(probe <= 2.0 * V5E_PEAK_TFLOPS),
         "probe_tflops": round(probe, 1),
-        "membw_gbps": round(bench_membw(args.mib), 1),
+        "membw_gbps": round(bench_membw(args.mib), 3),
         "membw_peak_gbps": V5E_HBM_GBPS,
         "mul_mat": bench_mul_mat(tuple(args.sizes)),
         "bf16_peak_tflops": V5E_PEAK_TFLOPS,
