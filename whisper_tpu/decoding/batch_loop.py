@@ -210,7 +210,7 @@ def decode_windows_batch(
             src = (jnp.arange(U)[:, None] * K + src_local).reshape(B)
             tok = tok.reshape(B)
             st = st._replace(
-                kv=st.kv.reorder(src),
+                kv=st.kv.reorder_if_forked(src),
                 tokens=st.tokens[src],
                 tok_p=st.tok_p[src], tok_plog=st.tok_plog[src],
                 tok_pt=st.tok_pt[src], tok_ptsum=st.tok_ptsum[src],

@@ -274,9 +274,11 @@ def decode_window(
                 logprobs, live, st.sum_logprobs_all, st.prefix_hash,
                 st.last_token, i, beam_size)
 
-            # fork: gather every per-decoder datum from the source beam
+            # fork: gather every per-decoder datum from the source beam.
+            # The KV gather (the only HBM-heavy one) is skipped at runtime
+            # on no-fork steps — see KVCache.reorder_if_forked.
             st = st._replace(
-                kv=st.kv.reorder(src),
+                kv=st.kv.reorder_if_forked(src),
                 tokens=st.tokens[src],
                 tok_p=st.tok_p[src], tok_plog=st.tok_plog[src],
                 tok_pt=st.tok_pt[src], tok_ptsum=st.tok_ptsum[src],

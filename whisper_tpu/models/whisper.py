@@ -207,6 +207,19 @@ class KVCache(NamedTuple):
         """Beam fork: new cache[b] = old cache[src_idx[b]]."""
         return KVCache(self.k[:, src_idx], self.v[:, src_idx])
 
+    def reorder_if_forked(self, src_idx: jax.Array) -> "KVCache":
+        """`reorder`, skipping the gather at runtime when src_idx is the
+        identity permutation. In beam-search steady state each beam extends
+        itself, so most steps fork nothing — but XLA cannot know that at
+        compile time, and the unconditional batch-axis gather moves the
+        whole cache through HBM every step (large-v3 beam-5: ~0.4 GB read
+        + 0.4 GB written per token). The lax.cond makes the copy pay-per-use
+        (reference analogue: kv_seq_cp is likewise only called for decoders
+        whose source slot differs, src/whisper.cpp:7272-7285)."""
+        is_identity = jnp.all(src_idx == jnp.arange(src_idx.shape[0]))
+        return jax.lax.cond(
+            is_identity, lambda kv: kv, lambda kv: kv.reorder(src_idx), self)
+
 
 def decoder_forward(
     params: Params,
