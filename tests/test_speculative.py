@@ -1,0 +1,176 @@
+"""Speculative greedy decoding (decoding/speculative.py): the draft-
+accelerated window decode must emit EXACTLY the main model's own greedy
+stream — tokens, stats, and decoder-state semantics identical to
+device_loop.decode_window (greedy, n_dec=1).
+
+Comparisons sharpen the decoder token embedding (x8) so argmaxes are
+decisive across the T=1 vs T=k program shapes (CLAUDE.md: never compare
+argmax over 51k near-uniform random logits across program structures).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import whisper_tpu as wt
+from whisper_tpu.checkpoint.init import tiny_test_hparams
+from whisper_tpu.config import ContextParams, FullParams
+from whisper_tpu.decoding import device_loop, filters
+from whisper_tpu.decoding.speculative import decode_window_speculative
+
+
+def _sharp_ctx(seed=0, scale=8.0):
+    ctx = wt.WhisperContext.random(
+        hp=tiny_test_hparams(), params=ContextParams(dtype="float32"),
+        seed=seed)
+    dec = dict(ctx.params["decoder"])
+    dec["token_embed"] = dec["token_embed"] * scale
+    ctx.params = {**ctx.params, "decoder": dec}
+    return ctx
+
+
+@pytest.fixture(scope="module")
+def main_ctx():
+    return _sharp_ctx(seed=0)
+
+
+@pytest.fixture(scope="module")
+def draft_ctx():
+    # a DIFFERENT model (weights disagree with the main model) — the
+    # worst case for acceptance, which must not affect correctness
+    return _sharp_ctx(seed=123)
+
+
+def _window_results(ctx, draft, audio, params, k_spec):
+    """(vanilla, speculative) WindowResults for one window from identical
+    state."""
+    hp = ctx.hparams
+    vocab = ctx.vocab
+    consts, tids = filters.build_filter_consts(vocab, hp, params)
+
+    st = ctx.create_state()
+    st.pcm_to_mel(audio)
+    st.encode(0)
+    ctx.attach_draft(draft)
+    try:
+        from whisper_tpu.audio import mel as mel_mod
+        st.draft_mel, _, _ = mel_mod.log_mel_spectrogram(
+            audio, draft.mel_filters)
+        st.encode_draft(0)
+    finally:
+        ctx.draft = None
+
+    prompt = [vocab.token_sot]
+    if params.no_timestamps:
+        prompt.append(vocab.token_not)
+    seek, seek_end = 0, st.n_len_org
+    prompt_max = hp.n_text_ctx // 2 + 8
+    pp = np.zeros(prompt_max, np.int32)
+    pp[: len(prompt)] = prompt
+
+    van = device_loop.decode_window(
+        ctx.params, hp, consts, st.cross_k, st.cross_v,
+        jnp.asarray(pp), jnp.int32(len(prompt)),
+        jnp.float32(0.0), jnp.int32(seek), jnp.int32(seek_end),
+        jax.random.PRNGKey(0),
+        tids=tids, n_dec=1, strategy=device_loop.GREEDY_BEST,
+        max_tokens=params.max_tokens, no_timestamps=params.no_timestamps,
+        dtype=ctx.dtype)
+    spec = decode_window_speculative(
+        ctx.params, draft.params, hp, draft.hparams, consts,
+        st.cross_k, st.cross_v, st.draft_cross_k, st.draft_cross_v,
+        jnp.asarray(pp), jnp.int32(len(prompt)),
+        jnp.int32(seek), jnp.int32(seek_end),
+        tids=tids, k_spec=k_spec,
+        max_tokens=params.max_tokens, no_timestamps=params.no_timestamps,
+        dtype=ctx.dtype)
+    return (jax.tree_util.tree_map(np.asarray, van),
+            jax.tree_util.tree_map(np.asarray, spec))
+
+
+def _assert_same(van, spec):
+    n = int(van.n_tokens)
+    assert int(spec.n_tokens) == n
+    np.testing.assert_array_equal(spec.tokens[0, :n], van.tokens[0, :n])
+    np.testing.assert_array_equal(spec.tok_tid[0, :n], van.tok_tid[0, :n])
+    assert int(spec.result_len[0]) == int(van.result_len[0])
+    assert int(spec.seek_delta[0]) == int(van.seek_delta[0])
+    assert bool(spec.completed[0]) == bool(van.completed[0])
+    assert bool(spec.failed[0]) == bool(van.failed[0])
+    np.testing.assert_allclose(spec.tok_plog[0, :n], van.tok_plog[0, :n],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(spec.tok_p[0, :n], van.tok_p[0, :n],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(spec.tok_ptsum[0, :n], van.tok_ptsum[0, :n],
+                               rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(float(spec.sum_logprobs_all[0]),
+                               float(van.sum_logprobs_all[0]),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(float(spec.no_speech_prob),
+                               float(van.no_speech_prob), rtol=1e-4)
+
+
+@pytest.mark.parametrize("k_spec", [1, 4, 8])
+def test_spec_matches_vanilla_timestamps(main_ctx, draft_ctx, jfk_like_audio,
+                                         k_spec):
+    params = FullParams.default()
+    van, spec = _window_results(
+        main_ctx, draft_ctx, jfk_like_audio[: 16000 * 3], params, k_spec)
+    assert int(van.n_tokens) > 0
+    _assert_same(van, spec)
+
+
+def test_spec_matches_vanilla_no_timestamps(main_ctx, draft_ctx,
+                                            jfk_like_audio):
+    params = FullParams.default()
+    params.no_timestamps = True
+    params.max_tokens = 24
+    van, spec = _window_results(
+        main_ctx, draft_ctx, jfk_like_audio[: 16000 * 3], params, 4)
+    _assert_same(van, spec)
+
+
+def test_spec_self_draft_full_acceptance(main_ctx, jfk_like_audio):
+    """Draft == main model: every proposal verifies (modulo T=1-vs-T=k ulp),
+    and the stream still matches vanilla exactly."""
+    params = FullParams.default()
+    van, spec = _window_results(
+        main_ctx, main_ctx, jfk_like_audio[: 16000 * 3], params, 8)
+    _assert_same(van, spec)
+
+
+def test_run_full_with_draft_matches(main_ctx, draft_ctx, jfk_like_audio):
+    """Public API: run_full with an attached draft produces the same
+    segments as without (multi-window, timestamps on)."""
+    audio = jfk_like_audio[: 16000 * 8]
+    params = FullParams.default()
+    params.temperature_inc = 0.0     # decisive: no sampling fallback
+    params.no_timestamps = True      # random weights rarely sample a valid
+    params.max_tokens = 24           # timestamp pair -> guarantee emission
+
+    st_plain = main_ctx.create_state()
+    st_plain.full(params, audio)
+    base = [(s.t0, s.t1, [t.id for t in s.tokens]) for s in st_plain.segments]
+
+    main_ctx.attach_draft(draft_ctx)
+    try:
+        st_spec = main_ctx.create_state()
+        st_spec.full(params, audio)
+        got = [(s.t0, s.t1, [t.id for t in s.tokens]) for s in st_spec.segments]
+    finally:
+        main_ctx.draft = None
+
+    assert got == base
+    assert len(base) > 0
+
+
+def test_attach_draft_vocab_mismatch(main_ctx):
+    hp = dataclasses.replace(tiny_test_hparams(), n_vocab=51865 + 1)
+    other = wt.WhisperContext.random(
+        hp=hp, params=ContextParams(dtype="float32"))
+    from whisper_tpu.errors import InitError
+    with pytest.raises(InitError):
+        main_ctx.attach_draft(other)

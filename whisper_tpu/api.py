@@ -84,6 +84,9 @@ class WhisperContext:
         # closure) keep the copy — nothing to rebuild from.
         self._rebuild_host = host_params_rebuild
         self._host_params = None if host_params_rebuild is not None else (model.params or {})
+        # speculative-decoding draft model (decoding/speculative.py);
+        # attached via attach_draft() or ContextParams.draft_model
+        self.draft: Optional["WhisperContext"] = None
 
     # -- constructors mirroring the reference API ---------------------------
     @classmethod
@@ -97,8 +100,13 @@ class WhisperContext:
             raise
         except (OSError, ValueError, EOFError) as e:
             raise InitError(f"failed to load model '{path}': {e}") from e
-        return cls(model, params, host_params_rebuild=lambda: loader_mod.load_model(
+        ctx = cls(model, params, host_params_rebuild=lambda: loader_mod.load_model(
             path, cp.dtype, cp.keep_quantized).params)
+        if cp.draft_model:
+            import dataclasses as _dc
+            dcp = _dc.replace(cp, draft_model=None, keep_quantized=False)
+            ctx.attach_draft(cls.new_with_params(cp.draft_model, dcp))
+        return ctx
 
     @classmethod
     def from_buffer(cls, buf, params: Optional[ContextParams] = None) -> "WhisperContext":
@@ -139,6 +147,26 @@ class WhisperContext:
         """reference whisper_init_state (src/whisper.cpp:3390-3561)."""
         return WhisperState(self)
 
+    def attach_draft(self, draft: "WhisperContext") -> None:
+        """Attach a draft model for speculative greedy decoding
+        (decoding/speculative.py). The draft must share the main model's
+        vocabulary — token ids are exchanged between the two models — which
+        in practice means a distil checkpoint of the same family (e.g.
+        distil-large-v3 for large-v3; tiny's 51865-token vocab does NOT
+        match large-v3's 51866)."""
+        from whisper_tpu.errors import InitError
+        v_m, v_d = self.vocab, draft.vocab
+        if (v_d.n_vocab != v_m.n_vocab or v_d.token_eot != v_m.token_eot
+                or v_d.token_beg != v_m.token_beg
+                or v_d.token_sot != v_m.token_sot):
+            raise InitError(
+                f"draft vocab incompatible: n_vocab {v_d.n_vocab} vs "
+                f"{v_m.n_vocab} (speculative decoding requires an identical "
+                "vocabulary, e.g. a distil checkpoint of the same family)")
+        if draft.hparams.n_audio_ctx != self.hparams.n_audio_ctx:
+            raise InitError("draft n_audio_ctx differs from main model")
+        self.draft = draft
+
     @property
     def exec_backend(self) -> str:
         """The backend this context's weights execute on ('cpu' for a
@@ -171,6 +199,9 @@ class WhisperContext:
             twin.params = jax.tree_util.tree_map(
                 lambda x: jax.device_put(x, cpu0), host)
             twin._cpu_twin = twin
+            # the twin exists for host-stepped decoding; the draft's weights
+            # still live on the original backend — don't mix
+            twin.draft = None
             self._cpu_twin = twin
         return twin
 
@@ -276,6 +307,12 @@ class WhisperState:
         self.timings = Timings()
         self.no_speech_prob: float = 0.0
         self._last_logits: Optional[jax.Array] = None
+        # speculative decoding: the draft model's own mel (its filterbank /
+        # n_mels may differ, e.g. 80 vs large-v3's 128) and per-window
+        # cross-KV (decoding/speculative.py)
+        self.draft_mel: Optional[jax.Array] = None
+        self.draft_cross_k: Optional[jax.Array] = None
+        self.draft_cross_v: Optional[jax.Array] = None
         # jitted fns are cached per (ctx id); jax's jit cache dedups by shape
 
     # ------------------------------------------------------------------ mel
@@ -331,6 +368,26 @@ class WhisperState:
         self.cross_k.block_until_ready()
         self.timings.add("encode", time.perf_counter() - t0)
         return embed
+
+    def encode_draft(self, offset: int = 0, n_ctx_used: Optional[int] = None) -> None:
+        """Encoder + cross-KV of the attached DRAFT model for the window at
+        mel offset (speculative decoding). Requires `draft_mel` — computed
+        by run_full from the same (VAD-filtered) samples with the draft's
+        own filterbank."""
+        draft = self.ctx.draft
+        if draft is None or self.draft_mel is None:
+            raise RuntimeError("no draft model / draft mel")
+        hp = draft.hparams
+        t0 = time.perf_counter()
+        n_ctx = n_ctx_used or hp.n_audio_ctx
+        want = 2 * n_ctx
+        mel = self.draft_mel
+        padded = jnp.pad(mel, ((0, 0), (0, want + max(0, offset))))
+        win = jax.lax.dynamic_slice(padded, (0, offset), (mel.shape[0], want))[None]
+        use_flash = draft.cparams.flash_attn and draft.exec_backend == "tpu"
+        embed = _encode_jit(draft.params, hp, win, draft.dtype, use_flash)
+        self.draft_cross_k, self.draft_cross_v = _cross_kv_jit(draft.params, hp, embed)
+        self.timings.add("encode", time.perf_counter() - t0)
 
     # -------------------------------------------------------------- decode
     def new_kv_cache(self, batch: int) -> model_mod.KVCache:

@@ -197,6 +197,12 @@ class ContextParams:
     batch_size: int = 1             # utterance batch for data-parallel full()
     keep_quantized: bool = False    # keep Q4_0/Q5_0/Q8_0 weights as int8
                                     # blocks + scales in HBM (Pallas matmul)
+    draft_model: Optional[str] = None  # checkpoint path of a draft model for
+                                       # speculative greedy decoding (same
+                                       # vocab, e.g. distil-large-v3 against
+                                       # large-v3) — decoding/speculative.py
+    spec_k: int = 8                 # speculative chunk length: draft tokens
+                                    # verified per main-model forward
 
 
 @dataclasses.dataclass

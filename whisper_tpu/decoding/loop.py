@@ -91,8 +91,21 @@ def run_full(state: WhisperState, params: FullParams, samples: Optional[np.ndarr
     # --- mel ---------------------------------------------------------------
     if samples is not None and len(samples) > 0:
         state.pcm_to_mel(samples, debug=params.debug_mode)
+        # speculative decoding: the draft model needs its own mel (different
+        # filterbank / n_mels), from the SAME (VAD-filtered) samples
+        if ctx.draft is not None and not ctx.draft.is_stub:
+            from whisper_tpu.audio import mel as mel_mod
+            state.draft_mel, _, _ = mel_mod.log_mel_spectrogram(
+                samples, ctx.draft.mel_filters)
     if state.mel is None:
         raise RuntimeError("no mel: provide samples or call set_mel first")
+
+    # speculative greedy decoding is usable when a draft is attached and the
+    # request has no host-interactive features (decoding/speculative.py)
+    use_spec = (ctx.draft is not None and state.draft_mel is not None
+                and params.grammar_rules is None
+                and params.logits_filter_callback is None
+                and not ctx.is_stub and not ctx.draft.is_stub)
 
     # --- language auto-detect (:6814-6830) ----------------------------------
     language = params.language
@@ -184,6 +197,8 @@ def run_full(state: WhisperState, params: FullParams, samples: Optional[np.ndarr
             continue
 
         state.encode(seek, n_ctx_used)
+        if use_spec:
+            state.encode_draft(seek, n_ctx_used)
 
         # drop stale prompt near the end (:7013-7016)
         if seek > seek_start and seek + 500 >= seek_end:
@@ -245,24 +260,42 @@ def run_full(state: WhisperState, params: FullParams, samples: Optional[np.ndarr
                 continue
 
             t0 = time.perf_counter()
-            result = device_loop.decode_window(
-                ctx.params, hp, consts,
-                state.cross_k, state.cross_v,
-                jnp.asarray(prompt_padded), jnp.int32(prompt_len),
-                jnp.float32(t_cur), jnp.int32(seek), jnp.int32(seek_end),
-                jax.random.PRNGKey(rng_seed + it),
-                g_rej_dev,
-                g_trans_dev,
-                jnp.float32(params.grammar_penalty) if grammar_dfa else None,
-                tids=tids,
-                n_dec=n_dec_cur,
-                strategy=strat,
-                beam_size=params.beam_search.beam_size,
-                max_tokens=params.max_tokens,
-                single_segment=params.single_segment,
-                no_timestamps=no_timestamps,
-                dtype=ctx.dtype,
-            )
+            if (use_spec and strat == device_loop.GREEDY_BEST
+                    and n_dec_cur == 1):
+                # speculative greedy: draft proposes spec_k tokens, ONE main
+                # forward verifies the chunk — emits the main model's own
+                # greedy stream at a fraction of its weight-bandwidth cost
+                from whisper_tpu.decoding.speculative import (
+                    decode_window_speculative)
+                result = decode_window_speculative(
+                    ctx.params, ctx.draft.params, hp, ctx.draft.hparams,
+                    consts, state.cross_k, state.cross_v,
+                    state.draft_cross_k, state.draft_cross_v,
+                    jnp.asarray(prompt_padded), jnp.int32(prompt_len),
+                    jnp.int32(seek), jnp.int32(seek_end),
+                    tids=tids, k_spec=ctx.cparams.spec_k,
+                    max_tokens=params.max_tokens,
+                    single_segment=params.single_segment,
+                    no_timestamps=no_timestamps, dtype=ctx.dtype)
+            else:
+                result = device_loop.decode_window(
+                    ctx.params, hp, consts,
+                    state.cross_k, state.cross_v,
+                    jnp.asarray(prompt_padded), jnp.int32(prompt_len),
+                    jnp.float32(t_cur), jnp.int32(seek), jnp.int32(seek_end),
+                    jax.random.PRNGKey(rng_seed + it),
+                    g_rej_dev,
+                    g_trans_dev,
+                    jnp.float32(params.grammar_penalty) if grammar_dfa else None,
+                    tids=tids,
+                    n_dec=n_dec_cur,
+                    strategy=strat,
+                    beam_size=params.beam_search.beam_size,
+                    max_tokens=params.max_tokens,
+                    single_segment=params.single_segment,
+                    no_timestamps=no_timestamps,
+                    dtype=ctx.dtype,
+                )
             result = jax.tree_util.tree_map(np.asarray, result)
             n_steps = int(result.n_tokens)
             state.timings.add("decode", time.perf_counter() - t0, max(1, n_steps))
