@@ -70,6 +70,11 @@ def build_parser() -> argparse.ArgumentParser:
     a("--grammar-rule", default="root")
     a("--profile-dir", default=None,
       help="capture a jax.profiler trace (XProf/TensorBoard) into this dir")
+    a("--draft-model", default=None,
+      help="draft checkpoint for speculative greedy decoding (same vocab, "
+           "e.g. distil-large-v3 against large-v3) — see PERF.md")
+    a("--spec-k", type=int, default=8,
+      help="speculative chunk length (draft tokens per main-model verify)")
     a("--warmup", action="store_true",
       help="pre-compile all programs before the first file (timings then "
            "exclude XLA compile latency)")
@@ -151,6 +156,9 @@ def _dtw_params(args):
     if args.no_gpu:
         cp.use_gpu = False
     cp.flash_attn = args.flash_attn or cp.flash_attn
+    if getattr(args, "draft_model", None):
+        cp.draft_model = args.draft_model
+        cp.spec_k = args.spec_k
     if args.dtw:
         name = args.dtw.replace(".", "_").replace("-", "_").upper()
         try:

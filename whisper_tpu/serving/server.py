@@ -316,10 +316,17 @@ def main(argv=None) -> int:
                     help="coalesce concurrent requests arriving within this "
                          "window into one batched decode (0 = off)")
     ap.add_argument("--max-batch", type=int, default=8)
+    ap.add_argument("--draft-model", default=None,
+                    help="draft checkpoint for speculative greedy decoding")
+    ap.add_argument("--spec-k", type=int, default=8)
     args = ap.parse_args(argv)
+    cparams = None
+    if args.draft_model:
+        cparams = ContextParams(draft_model=args.draft_model,
+                                spec_k=args.spec_k)
     httpd = serve(args.model, args.host, args.port,
                   batch_window_ms=args.batch_window_ms,
-                  max_batch=args.max_batch)
+                  max_batch=args.max_batch, cparams=cparams)
     print(f"whisper-tpu server listening on http://{args.host}:{args.port}")
     httpd.serve_forever()
     return 0
