@@ -134,9 +134,21 @@ def analytic_roofline() -> dict:
         rtf_sol = 30.0 / ((enc_sol + N_TOK * dec_sol) / 1e3)
         enc_exp, dec_exp, bch5_exp = enc_sol / 0.5, dec_sol / 0.7, bch5_sol / 0.7
         rtf_exp = 30.0 / ((enc_exp + N_TOK * dec_exp) / 1e3)
+        # speculative greedy (decoding/speculative.py): per round of k=8,
+        # the main weights+KV are read once and the 2-decoder-layer distil
+        # draft (same d, vocab projection included) steps k times; at a
+        # conservative mean accepted run of 4 tokens/round the per-token
+        # bytes drop accordingly. Only meaningful where a distil draft
+        # exists (large-v3 family).
+        k_spec, m_bar = 8, 4.0
+        wd_b = (16 * 2 * d * d + V * d) * 2
+        spec_gb_round = (w_b + ck_b + sk_b) + k_spec * (wd_b + ck_b * 2 / Ld)
+        spec_sol = spec_gb_round / m_bar / (V5E_HBM_GBPS * 1e9) * 1e3
+
         row = {
             "enc_gflops": round(enc_flops / 1e9, 1),
             "dec_gb_per_tok": round((w_b + ck_b + sk_b) / 1e9, 3),
+            "spec_dec_sol_ms": round(spec_sol, 3),
             "sol_ms": {"enc": round(enc_sol, 3), "dec": round(dec_sol, 3),
                        "bch5": round(bch5_sol, 3), "pp": round(pp_sol, 4)},
             "expected_ms": {"enc": round(enc_exp, 3), "dec": round(dec_exp, 3),
