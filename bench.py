@@ -328,6 +328,33 @@ def largev3_beam5_compile_check() -> dict:
         "encoder": {"compile_s": round(t_enc, 1), "flash_attn": use_flash,
                     **mem(enc)},
     }
+
+    # speculative greedy at scale: large-v3 main + a distil-large-v3-shaped
+    # draft (2 decoder layers, same width/vocab) — proves the two-model
+    # draft/verify while_loop program compiles and fits on one chip
+    try:
+        import dataclasses as _dc
+        from whisper_tpu.decoding.speculative import decode_window_speculative
+        hp_d = _dc.replace(hp, n_text_layer=2)
+        d_shapes = jax.eval_shape(
+            lambda: jax.tree_util.tree_map(
+                jnp.asarray, random_params(hp_d, seed=0, compute_dtype="bfloat16")))
+        abs_draft = jax.tree_util.tree_map(
+            lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype), d_shapes)
+        dck = jax.ShapeDtypeStruct((2, 1, H, hp.n_audio_ctx, dh), jnp.bfloat16)
+        consts_g, tids_g = filters.build_filter_consts(
+            vocab, hp, FullParams.default())
+        t0 = _t.perf_counter()
+        sdec = decode_window_speculative.lower(
+            abs_params, abs_draft, hp, hp_d, consts_g, ck, ck, dck, dck,
+            jax.ShapeDtypeStruct((prompt_max,), i32),
+            jax.ShapeDtypeStruct((), i32),
+            jax.ShapeDtypeStruct((), i32), jax.ShapeDtypeStruct((), i32),
+            tids=tids_g, k_spec=8, dtype=jnp.bfloat16).compile()
+        out["decode_window_speculative_k8"] = {
+            "compile_s": round(_t.perf_counter() - t0, 1), **mem(sdec)}
+    except Exception as e:  # never break the bench line
+        out["decode_window_speculative_k8"] = {"error": str(e)[:200]}
     total = (dec.memory_analysis().argument_size_in_bytes
              + dec.memory_analysis().temp_size_in_bytes)
     out["hbm_peak_gb"] = round(total / 2**30, 2)
