@@ -45,8 +45,11 @@ def main() -> int:
         print(f"[{to_timestamp(s.t0)} --> {to_timestamp(s.t1)}] {s.text}")
     n_tok = sum(len(state.full_get_segment(i).tokens)
                 for i in range(state.full_n_segments()))
-    print(f"\n{n_tok} tokens in {dt:.2f}s "
-          f"(draft spec_k={spec_k}; state.print_timings() for phases)")
+    print(f"\n{n_tok} tokens in {dt:.2f}s (draft spec_k={spec_k})")
+    if state.spec_stats:
+        r, n = state.spec_stats["rounds"], state.spec_stats["tokens"]
+        print(f"speculative: {n} tokens / {r} verify rounds "
+              f"= {n / max(1, r):.2f} accepted tokens per main forward")
     state.print_timings()
     return 0
 

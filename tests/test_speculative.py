@@ -140,6 +140,12 @@ def test_spec_self_draft_full_acceptance(main_ctx, jfk_like_audio):
     van, spec = _window_results(
         main_ctx, main_ctx, jfk_like_audio[: 16000 * 3], params, 8)
     _assert_same(van, spec)
+    # acceptance observability: a self-draft accepts nearly everything, so
+    # verify rounds must be well below one-per-token
+    n, r = int(spec.n_tokens), int(spec.n_rounds)
+    assert r >= 1
+    if n >= 8:
+        assert r < n
 
 
 def test_run_full_with_draft_matches(main_ctx, draft_ctx, jfk_like_audio):

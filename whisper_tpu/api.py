@@ -313,6 +313,9 @@ class WhisperState:
         self.draft_mel: Optional[jax.Array] = None
         self.draft_cross_k: Optional[jax.Array] = None
         self.draft_cross_v: Optional[jax.Array] = None
+        # {"rounds": R, "tokens": N} after a speculative run_full —
+        # mean accepted run length = N / R (tune ContextParams.spec_k)
+        self.spec_stats: Optional[dict] = None
         # jitted fns are cached per (ctx id); jax's jit cache dedups by shape
 
     # ------------------------------------------------------------------ mel

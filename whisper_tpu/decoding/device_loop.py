@@ -124,6 +124,9 @@ class WindowResult(NamedTuple):
     completed: jax.Array     # (B,) bool
     sum_logprobs_all: jax.Array  # (B,) f32
     no_speech_prob: jax.Array    # () f32
+    # speculative decoding only: verify rounds executed (0 = vanilla loop);
+    # acceptance rate = n_tokens / n_rounds (decoding/speculative.py)
+    n_rounds: jax.Array = _np.int32(0)
 
 
 class _LoopState(NamedTuple):

@@ -300,6 +300,13 @@ def run_full(state: WhisperState, params: FullParams, samples: Optional[np.ndarr
             n_steps = int(result.n_tokens)
             state.timings.add("decode", time.perf_counter() - t0, max(1, n_steps))
             state.no_speech_prob = float(result.no_speech_prob)
+            if int(getattr(result, "n_rounds", 0)) > 0:
+                # speculative acceptance observability: tokens/round
+                r = int(result.n_rounds)
+                prev = getattr(state, "spec_stats", None) or {"rounds": 0,
+                                                              "tokens": 0}
+                state.spec_stats = {"rounds": prev["rounds"] + r,
+                                    "tokens": prev["tokens"] + n_steps}
 
             best_idx, best_scores, failed = scoring.rank_decoders(result, params)
             best_result = result

@@ -126,6 +126,7 @@ def _fold_token(fold: _Fold, tok, s, tids: TokenIds, seek, seek_end,
 
 class _SpecState(NamedTuple):
     i: jax.Array             # () i32 — emitted tokens so far
+    rounds: jax.Array        # () i32 — draft/verify rounds executed
     kv: KVCache              # main-model cache
     dkv: KVCache             # draft-model cache
     logits: jax.Array        # (V,) raw main logits predicting step i
@@ -191,7 +192,8 @@ def decode_window_speculative(
         penult_tok=jnp.int32(0))
 
     st0 = _SpecState(
-        i=jnp.int32(0), kv=kv, dkv=dkv, logits=last_row, fold=fold0,
+        i=jnp.int32(0), rounds=jnp.int32(0), kv=kv, dkv=dkv,
+        logits=last_row, fold=fold0,
         tokens=jnp.zeros(n_buf, jnp.int32),
         tok_p=jnp.zeros(n_buf, jnp.float32),
         tok_plog=jnp.zeros(n_buf, jnp.float32),
@@ -298,7 +300,7 @@ def decode_window_speculative(
         new_fold = jax.tree_util.tree_map(lambda a: a[M - 1], folds)
 
         return _SpecState(
-            i=i + M, kv=kv_new, dkv=dkv_new,
+            i=i + M, rounds=st.rounds + 1, kv=kv_new, dkv=dkv_new,
             logits=rows[M - 1], fold=new_fold,
             tokens=wr(st.tokens, chunk),
             tok_p=wr(st.tok_p, p_tok),
@@ -320,4 +322,5 @@ def decode_window_speculative(
         completed=fin.fold.completed[None],
         sum_logprobs_all=fin.sum_logprobs[None],
         no_speech_prob=no_speech_prob,
+        n_rounds=fin.rounds,
     )
