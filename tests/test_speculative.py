@@ -148,6 +148,27 @@ def test_spec_self_draft_full_acceptance(main_ctx, jfk_like_audio):
         assert r < n
 
 
+def test_spec_max_tokens_mid_chunk(main_ctx, draft_ctx, jfk_like_audio):
+    """max_tokens lands inside a speculation chunk: the emit cap must cut
+    at exactly the same step as the vanilla loop."""
+    params = FullParams.default()
+    params.no_timestamps = True
+    params.max_tokens = 3                    # << k_spec = 8
+    van, spec = _window_results(
+        main_ctx, draft_ctx, jfk_like_audio[: 16000 * 3], params, 8)
+    _assert_same(van, spec)
+    assert int(spec.n_tokens) <= 4
+
+
+def test_spec_short_window(main_ctx, draft_ctx, jfk_like_audio):
+    """1.2 s of audio: end-of-audio / rl0 terminal rules fire within the
+    first chunks and must match vanilla exactly."""
+    params = FullParams.default()
+    van, spec = _window_results(
+        main_ctx, draft_ctx, jfk_like_audio[: int(16000 * 1.2)], params, 8)
+    _assert_same(van, spec)
+
+
 def test_run_full_with_draft_matches(main_ctx, draft_ctx, jfk_like_audio):
     """Public API: run_full with an attached draft produces the same
     segments as without (multi-window, timestamps on)."""
