@@ -194,6 +194,55 @@ def test_run_full_with_draft_matches(main_ctx, draft_ctx, jfk_like_audio):
     assert len(base) > 0
 
 
+def test_spec_with_keep_quantized_main(tmp_path, jfk_like_audio):
+    """Speculative decoding composes with the int8 quantized serving path:
+    a keep_quantized main model + draft produces the same stream as the
+    same quantized model without a draft."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_ggml_io import _make_test_tensors
+    from whisper_tpu.audio.mel import mel_filterbank
+    from whisper_tpu.checkpoint import ggml_io, quant
+    from whisper_tpu.tokenizer import synthetic_vocab
+
+    hp = tiny_test_hparams()
+    tensors = _make_test_tensors(hp, ttype=quant.GGML_TYPE_Q8_0)
+    # sharpen the (tied) token embedding so argmaxes are decisive across
+    # the T=1 vs T=k program shapes
+    arr, tt = tensors["decoder.token_embedding.weight"]
+    tensors["decoder.token_embedding.weight"] = (arr * 8.0, tt)
+    path = str(tmp_path / "q8.bin")
+    ggml_io.write_ggml(path, hp, mel_filterbank(80),
+                       synthetic_vocab(hp.n_vocab).id_to_token[:50256],
+                       tensors)
+
+    audio = jfk_like_audio[: 16000 * 3]
+    p = FullParams.default()
+    p.no_timestamps = True
+    p.max_tokens = 16
+    p.temperature_inc = 0.0
+
+    ctx_q = wt.WhisperContext.new_with_params(
+        path, ContextParams(dtype="float32", keep_quantized=True))
+    assert "q" in ctx_q.params["decoder"]["blocks"]["mlp_0"]
+    st = ctx_q.create_state()
+    st.full(p, audio)
+    base = [[t.id for t in s.tokens] for s in st.segments]
+
+    ctx_s = wt.WhisperContext.new_with_params(
+        path, ContextParams(dtype="float32", keep_quantized=True,
+                            draft_model=path, spec_k=4))
+    assert ctx_s.draft is not None
+    # the draft itself loads dequantized (plain weights)
+    assert "w" in ctx_s.draft.params["decoder"]["blocks"]["mlp_0"]
+    st2 = ctx_s.create_state()
+    st2.full(p, audio)
+    got = [[t.id for t in s.tokens] for s in st2.segments]
+
+    assert got == base and len(base) > 0
+    assert st2.spec_stats is not None and st2.spec_stats["rounds"] >= 1
+
+
 def test_attach_draft_vocab_mismatch(main_ctx):
     hp = dataclasses.replace(tiny_test_hparams(), n_vocab=51865 + 1)
     other = wt.WhisperContext.random(
