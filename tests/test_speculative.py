@@ -243,6 +243,37 @@ def test_spec_with_keep_quantized_main(tmp_path, jfk_like_audio):
     assert st2.spec_stats is not None and st2.spec_stats["rounds"] >= 1
 
 
+def test_spec_draft_shares_encoder(main_ctx, jfk_like_audio):
+    """draft_shares_encoder: the draft encoder pass is skipped and the main
+    model's encoder output feeds the draft's cross-KV projections — for a
+    draft whose encoder weights equal the main's (distil training freezes
+    the teacher encoder), the stream is identical to the non-shared path."""
+    import copy
+    audio = jfk_like_audio[: 16000 * 3]
+    params = FullParams.default()
+    params.no_timestamps = True
+    params.max_tokens = 16
+    params.temperature_inc = 0.0
+
+    # hybrid draft: main's encoder, different decoder
+    draft = _sharp_ctx(seed=321)
+    draft.params = {**draft.params, "encoder": main_ctx.params["encoder"]}
+
+    def run(shares: bool):
+        ctx = _sharp_ctx(seed=0)
+        ctx.cparams = dataclasses.replace(ctx.cparams,
+                                          draft_shares_encoder=shares)
+        ctx.attach_draft(draft)
+        st = ctx.create_state()
+        st.full(params, audio)
+        if shares:
+            assert st.draft_mel is None     # encoder pass really skipped
+        assert st.spec_stats is not None
+        return [[t.id for t in s.tokens] for s in st.segments]
+
+    assert run(True) == run(False)
+
+
 def test_attach_draft_vocab_mismatch(main_ctx):
     hp = dataclasses.replace(tiny_test_hparams(), n_vocab=51865 + 1)
     other = wt.WhisperContext.random(

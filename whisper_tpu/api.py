@@ -165,6 +165,12 @@ class WhisperContext:
                 "vocabulary, e.g. a distil checkpoint of the same family)")
         if draft.hparams.n_audio_ctx != self.hparams.n_audio_ctx:
             raise InitError("draft n_audio_ctx differs from main model")
+        if (self.cparams.draft_shares_encoder
+                and draft.hparams.n_audio_state != self.hparams.n_audio_state):
+            raise InitError(
+                "draft_shares_encoder requires matching encoder width "
+                f"({draft.hparams.n_audio_state} vs "
+                f"{self.hparams.n_audio_state})")
         self.draft = draft
 
     @property
@@ -376,10 +382,23 @@ class WhisperState:
         """Encoder + cross-KV of the attached DRAFT model for the window at
         mel offset (speculative decoding). Requires `draft_mel` — computed
         by run_full from the same (VAD-filtered) samples with the draft's
-        own filterbank."""
+        own filterbank — unless `draft_shares_encoder` is set, in which
+        case the main model's encoder output (distil drafts freeze the
+        teacher's encoder) is projected through the draft's cross-KV
+        weights and the whole draft encoder pass is skipped."""
         draft = self.ctx.draft
-        if draft is None or self.draft_mel is None:
-            raise RuntimeError("no draft model / draft mel")
+        if draft is None:
+            raise RuntimeError("no draft model")
+        if self.ctx.cparams.draft_shares_encoder:
+            if self.audio_embed is None:
+                raise RuntimeError("encode() must run before encode_draft()")
+            t0 = time.perf_counter()
+            self.draft_cross_k, self.draft_cross_v = _cross_kv_jit(
+                draft.params, draft.hparams, self.audio_embed)
+            self.timings.add("encode", time.perf_counter() - t0)
+            return
+        if self.draft_mel is None:
+            raise RuntimeError("no draft mel")
         hp = draft.hparams
         t0 = time.perf_counter()
         n_ctx = n_ctx_used or hp.n_audio_ctx

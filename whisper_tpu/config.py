@@ -203,6 +203,12 @@ class ContextParams:
                                        # large-v3) — decoding/speculative.py
     spec_k: int = 8                 # speculative chunk length: draft tokens
                                     # verified per main-model forward
+    draft_shares_encoder: bool = False  # distil drafts keep the teacher's
+                                        # encoder FROZEN (identical weights):
+                                        # skip the draft encoder pass and
+                                        # project the main model's encoder
+                                        # output through the draft's
+                                        # cross-KV weights instead
 
 
 @dataclasses.dataclass

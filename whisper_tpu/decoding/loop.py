@@ -92,8 +92,10 @@ def run_full(state: WhisperState, params: FullParams, samples: Optional[np.ndarr
     if samples is not None and len(samples) > 0:
         state.pcm_to_mel(samples, debug=params.debug_mode)
         # speculative decoding: the draft model needs its own mel (different
-        # filterbank / n_mels), from the SAME (VAD-filtered) samples
-        if ctx.draft is not None and not ctx.draft.is_stub:
+        # filterbank / n_mels), from the SAME (VAD-filtered) samples —
+        # unless it shares the frozen teacher encoder (no draft mel at all)
+        if (ctx.draft is not None and not ctx.draft.is_stub
+                and not ctx.cparams.draft_shares_encoder):
             from whisper_tpu.audio import mel as mel_mod
             state.draft_mel, _, _ = mel_mod.log_mel_spectrogram(
                 samples, ctx.draft.mel_filters)
@@ -102,7 +104,9 @@ def run_full(state: WhisperState, params: FullParams, samples: Optional[np.ndarr
 
     # speculative greedy decoding is usable when a draft is attached and the
     # request has no host-interactive features (decoding/speculative.py)
-    use_spec = (ctx.draft is not None and state.draft_mel is not None
+    use_spec = (ctx.draft is not None
+                and (state.draft_mel is not None
+                     or ctx.cparams.draft_shares_encoder)
                 and params.grammar_rules is None
                 and params.logits_filter_callback is None
                 and not ctx.is_stub and not ctx.draft.is_stub)
