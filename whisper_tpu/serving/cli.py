@@ -75,6 +75,9 @@ def build_parser() -> argparse.ArgumentParser:
            "e.g. distil-large-v3 against large-v3) — see PERF.md")
     a("--spec-k", type=int, default=8,
       help="speculative chunk length (draft tokens per main-model verify)")
+    a("--draft-shares-encoder", action="store_true",
+      help="draft keeps the teacher's frozen encoder (distil models): skip "
+           "its encoder pass and reuse the main model's encoder output")
     a("--warmup", action="store_true",
       help="pre-compile all programs before the first file (timings then "
            "exclude XLA compile latency)")
@@ -159,6 +162,7 @@ def _dtw_params(args):
     if getattr(args, "draft_model", None):
         cp.draft_model = args.draft_model
         cp.spec_k = args.spec_k
+        cp.draft_shares_encoder = args.draft_shares_encoder
     if args.dtw:
         name = args.dtw.replace(".", "_").replace("-", "_").upper()
         try:

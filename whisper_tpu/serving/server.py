@@ -319,11 +319,13 @@ def main(argv=None) -> int:
     ap.add_argument("--draft-model", default=None,
                     help="draft checkpoint for speculative greedy decoding")
     ap.add_argument("--spec-k", type=int, default=8)
+    ap.add_argument("--draft-shares-encoder", action="store_true")
     args = ap.parse_args(argv)
     cparams = None
     if args.draft_model:
         cparams = ContextParams(draft_model=args.draft_model,
-                                spec_k=args.spec_k)
+                                spec_k=args.spec_k,
+                                draft_shares_encoder=args.draft_shares_encoder)
     httpd = serve(args.model, args.host, args.port,
                   batch_window_ms=args.batch_window_ms,
                   max_batch=args.max_batch, cparams=cparams)
