@@ -274,6 +274,62 @@ def test_spec_draft_shares_encoder(main_ctx, jfk_like_audio):
     assert run(True) == run(False)
 
 
+def test_spec_distil_draft_via_hf_converter(tmp_path, jfk_like_audio):
+    """Real-world draft path: a distil-style HF model (full encoder,
+    2 decoder layers) through convert_hf -> ggml -> new_with_params ->
+    attach_draft of a converted full model, speculative run matches
+    vanilla. Proves the converter handles asymmetric layer counts and
+    that drafts arrive via the real checkpoint pipeline."""
+    torch = pytest.importorskip("torch")
+    pytest.importorskip("transformers")
+    from transformers import WhisperConfig, WhisperForConditionalGeneration
+    from whisper_tpu.checkpoint import convert_hf
+
+    def make(decoder_layers, seed):
+        torch.manual_seed(seed)
+        cfg = WhisperConfig(
+            vocab_size=51865, num_mel_bins=80, d_model=64,
+            encoder_layers=2, encoder_attention_heads=2,
+            decoder_layers=decoder_layers, decoder_attention_heads=2,
+            encoder_ffn_dim=256, decoder_ffn_dim=256,
+            max_source_positions=1500, max_target_positions=448,
+        )
+        hf = WhisperForConditionalGeneration(cfg).eval()
+        with torch.no_grad():
+            # sharpen the (tied) token embedding: decisive argmaxes across
+            # the T=1 vs T=k program shapes (CLAUDE.md)
+            hf.model.decoder.embed_tokens.weight.mul_(8.0)
+        return hf
+
+    main_path = str(tmp_path / "main.bin")
+    draft_path = str(tmp_path / "draft.bin")
+    convert_hf.convert_hf_to_ggml(make(4, 0), main_path, ftype=0)
+    convert_hf.convert_hf_to_ggml(make(2, 7), draft_path, ftype=0)
+
+    audio = jfk_like_audio[: 16000 * 2]
+    p = FullParams.default()
+    p.no_timestamps = True     # 2-layer draft is distil anyway; decisive
+    p.max_tokens = 12
+    p.temperature_inc = 0.0
+
+    ctx = wt.WhisperContext.new_with_params(
+        main_path, ContextParams(dtype="float32"))
+    st = ctx.create_state()
+    st.full(p, audio)
+    base = [[t.id for t in s.tokens] for s in st.segments]
+
+    ctx_s = wt.WhisperContext.new_with_params(
+        main_path, ContextParams(dtype="float32", draft_model=draft_path,
+                                 spec_k=4))
+    assert ctx_s.draft is not None
+    assert ctx_s.draft.hparams.n_text_layer == 2
+    st2 = ctx_s.create_state()
+    st2.full(p, audio)
+    got = [[t.id for t in s.tokens] for s in st2.segments]
+    assert got == base
+    assert st2.spec_stats is not None
+
+
 def test_attach_draft_vocab_mismatch(main_ctx):
     hp = dataclasses.replace(tiny_test_hparams(), n_vocab=51865 + 1)
     other = wt.WhisperContext.random(
