@@ -331,6 +331,10 @@ class WhisperState:
         self.mel, self.n_len, self.n_len_org = mel_mod.log_mel_spectrogram(
             samples, self.ctx.mel_filters)
         self.mel.block_until_ready()
+        # new audio: any draft mel/cross-KV from earlier samples is stale
+        # (run_full recomputes the draft mel from these samples when needed)
+        self.draft_mel = None
+        self.draft_cross_k = self.draft_cross_v = None
         self.timings.add("mel", time.perf_counter() - t0)
         if debug:
             # reference debug_mode mel dump (src/whisper.cpp:3264-3273)
@@ -346,6 +350,9 @@ class WhisperState:
         self.mel = mel
         self.n_len = mel.shape[1]
         self.n_len_org = n_len_org if n_len_org is not None else mel.shape[1]
+        # new audio: any draft mel/cross-KV from earlier samples is stale
+        self.draft_mel = None
+        self.draft_cross_k = self.draft_cross_v = None
 
     def mel_window(self, seek: int, n_ctx_used: Optional[int] = None) -> jax.Array:
         """Slice mel [seek, seek+2*n_ctx), zero-padded (reference conv graph

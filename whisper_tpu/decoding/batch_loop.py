@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from whisper_tpu.config import CHUNK_SIZE, WhisperHParams
+from whisper_tpu.decoding import state_machine
 from whisper_tpu.decoding.device_loop import (
     BEAM,
     DELTA_MIN,
@@ -241,20 +242,15 @@ def decode_windows_batch(
         tok_tid = st.tok_tid.at[:, i].set(jnp.where(live, tid, st.tok_tid[:, i]))
         sum_lp = jnp.where(live, st.sum_lp + plog_tok, st.sum_lp)
 
-        # per-decoder state machine with PER-ROW seek bounds (:7297-7378)
-        has_ts, failed, completed = st.has_ts, st.failed, st.completed
-        seek_delta, result_len = st.seek_delta, st.result_len
-
-        is_ts_tok = live & (tok > tids.beg)
-        sd_new = 2 * (tok - tids.beg)
-        regress = is_ts_tok & has_ts & (seek_delta > sd_new) & (result_len < i)
-        failed = failed | regress
-        ok_ts = is_ts_tok & ~regress
-        seek_delta = jnp.where(ok_ts, sd_new, seek_delta)
-        result_len = jnp.where(ok_ts, i + 1, result_len)
-        has_ts = has_ts | ok_ts
-
-        live2 = live & ~regress
+        # per-decoder state machine with PER-ROW seek bounds (:7297-7378;
+        # shared single copy, decoding/state_machine.py)
+        upd = state_machine.advance(
+            tok, i, live, st.has_ts, st.seek_delta, st.result_len,
+            st.failed, st.completed, seek_row, seek_end_row, tids,
+            max_tokens=max_tokens, single_segment=single_segment,
+            no_timestamps=no_timestamps, n_max=n_max)
+        has_ts, seek_delta, result_len = upd.has_ts, upd.seek_delta, upd.result_len
+        failed, completed = upd.failed, upd.completed
 
         # grammar accept: table lookup on the sampled token (reference
         # whisper_grammar_accept_token at :7329; in the beam branch
@@ -262,28 +258,10 @@ def decode_windows_batch(
         # the reference `continue`s past the accept when the token trips
         # the timestamp-regress failure (:7320-7329).
         if grammar_trans is not None:
-            gstate = jnp.where(live2, grammar_trans[st.gstate, tok], st.gstate)
+            gstate = jnp.where(upd.live2, grammar_trans[st.gstate, tok],
+                               st.gstate)
         else:
             gstate = st.gstate
-
-        end_of_audio = has_ts & (seek_row + seek_delta + DELTA_MIN >= seek_end_row)
-        hit_max = (max_tokens > 0) & (i >= max_tokens)
-        eos = live2 & ((tok == tids.eot) | hit_max | end_of_audio)
-
-        rl0 = eos & (result_len == 0) & (not no_timestamps)
-        rl0_ok = rl0 & (seek_row + seek_delta + DELTA_MIN >= seek_end_row)
-        result_len = jnp.where(rl0_ok, i + 1, result_len)
-        failed = failed | (rl0 & ~rl0_ok)
-        eos = eos & ~(rl0 & ~rl0_ok)
-
-        if single_segment or no_timestamps:
-            result_len = jnp.where(eos, i + 1, result_len)
-            seek_delta = jnp.where(eos, 100 * CHUNK_SIZE, seek_delta)
-        completed = completed | eos
-
-        rep = (i == n_max - 1) & live2 & ~eos & (
-            (result_len == 0) | (seek_delta < 100 * CHUNK_SIZE // 2))
-        failed = failed | rep
 
         next_tok = jnp.where(live, tok, st.last_token)
         pos = plen_row + i                        # (B,) vector positions

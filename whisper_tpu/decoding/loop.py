@@ -102,14 +102,19 @@ def run_full(state: WhisperState, params: FullParams, samples: Optional[np.ndarr
     if state.mel is None:
         raise RuntimeError("no mel: provide samples or call set_mel first")
 
-    # speculative greedy decoding is usable when a draft is attached and the
-    # request has no host-interactive features (decoding/speculative.py)
+    # speculative greedy decoding is usable when a draft is attached, the
+    # request has no host-interactive features, and a greedy t=0 attempt
+    # can actually occur (GREEDY strategy, ladder starting at 0) — else
+    # the per-window draft encoder pass would be paid for nothing
     use_spec = (ctx.draft is not None
                 and (state.draft_mel is not None
                      or ctx.cparams.draft_shares_encoder)
+                and params.strategy == SamplingStrategy.GREEDY
+                and params.temperature <= 0.0
                 and params.grammar_rules is None
                 and params.logits_filter_callback is None
                 and not ctx.is_stub and not ctx.draft.is_stub)
+    state.spec_stats = None          # per-run acceptance counters
 
     # --- language auto-detect (:6814-6830) ----------------------------------
     language = params.language

@@ -42,6 +42,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from whisper_tpu.config import CHUNK_SIZE, WhisperHParams
+from whisper_tpu.decoding import state_machine
 from whisper_tpu.decoding.device_loop import DELTA_MIN, WindowResult
 from whisper_tpu.decoding.filters import (
     FilterConsts,
@@ -80,48 +81,20 @@ def _filter_inputs(fold: _Fold, s, tids: TokenIds):
 def _fold_token(fold: _Fold, tok, s, tids: TokenIds, seek, seek_end,
                 *, max_tokens: int, single_segment: bool,
                 no_timestamps: bool, n_max: int):
-    """Advance the state machine by the token sampled at absolute step s.
-    Returns (new_fold, terminal): terminal == this token completed or
-    failed the decoder (no further tokens may be emitted after it)."""
-    is_ts_tok = tok > tids.beg                      # strictly > (:7317)
-    sd_new = 2 * (tok - tids.beg)
-    regress = (is_ts_tok & fold.has_ts & (fold.seek_delta > sd_new)
-               & (fold.result_len < s))
-    failed = fold.failed | regress
-    ok_ts = is_ts_tok & ~regress
-    seek_delta = jnp.where(ok_ts, sd_new, fold.seek_delta)
-    result_len = jnp.where(ok_ts, s + 1, fold.result_len)
-    has_ts = fold.has_ts | ok_ts
-
-    live2 = ~regress
-
-    end_of_audio = has_ts & (seek + seek_delta + DELTA_MIN >= seek_end)
-    hit_max = (max_tokens > 0) & (s >= max_tokens)
-    eos = live2 & ((tok == tids.eot) | hit_max | end_of_audio)
-
-    # result_len == 0 at end-of-segment (:7341-7351)
-    rl0 = eos & (result_len == 0) & (not no_timestamps)
-    rl0_ok = rl0 & (seek + seek_delta + DELTA_MIN >= seek_end)
-    rl0_fail = rl0 & ~rl0_ok
-    result_len = jnp.where(rl0_ok, s + 1, result_len)
-    failed = failed | rl0_fail
-    eos = eos & ~rl0_fail
-
-    if single_segment or no_timestamps:
-        result_len = jnp.where(eos, s + 1, result_len)
-        seek_delta = jnp.where(eos, 100 * CHUNK_SIZE, seek_delta)
-    completed = fold.completed | eos
-
-    # repetition bail-out on the final step (:7364-7377)
-    last_step = s == n_max - 1
-    rep = last_step & live2 & ~eos & (
-        (result_len == 0) | (seek_delta < 100 * CHUNK_SIZE // 2))
-    failed = failed | rep
-
-    new = _Fold(has_ts=has_ts, seek_delta=seek_delta, result_len=result_len,
-                failed=failed, completed=completed,
+    """Advance the state machine by the token sampled at absolute step s
+    (the shared single-copy rule set, decoding/state_machine.py). Returns
+    (new_fold, terminal): terminal == this token completed or failed the
+    decoder (no further tokens may be emitted after it)."""
+    upd = state_machine.advance(
+        tok, s, jnp.array(True), fold.has_ts, fold.seek_delta,
+        fold.result_len, fold.failed, fold.completed, seek, seek_end, tids,
+        max_tokens=max_tokens, single_segment=single_segment,
+        no_timestamps=no_timestamps, n_max=n_max)
+    new = _Fold(has_ts=upd.has_ts, seek_delta=upd.seek_delta,
+                result_len=upd.result_len, failed=upd.failed,
+                completed=upd.completed,
                 last_tok=tok, penult_tok=fold.last_tok)
-    return new, (eos | regress | rl0_fail | rep)
+    return new, upd.terminal
 
 
 class _SpecState(NamedTuple):
