@@ -330,6 +330,41 @@ def test_spec_distil_draft_via_hf_converter(tmp_path, jfk_like_audio):
     assert st2.spec_stats is not None
 
 
+def test_spec_stats_reset_per_run(main_ctx, draft_ctx, jfk_like_audio):
+    """spec_stats must reflect ONE run_full, not accumulate across calls
+    on a reused state (r3 review finding)."""
+    audio = jfk_like_audio[: 16000 * 3]
+    p = FullParams.default()
+    p.no_timestamps = True
+    p.max_tokens = 12
+    p.temperature_inc = 0.0
+    main_ctx.attach_draft(draft_ctx)
+    try:
+        st = main_ctx.create_state()
+        st.full(p, audio)
+        first = dict(st.spec_stats)
+        st.full(p, audio)
+        assert st.spec_stats == first      # identical run, identical counts
+    finally:
+        main_ctx.draft = None
+
+
+def test_spec_not_used_under_beam(main_ctx, draft_ctx, jfk_like_audio):
+    """A BEAM request with a draft attached must never take the speculative
+    path (and so never pay the draft encoder pass)."""
+    from whisper_tpu.config import SamplingStrategy
+    p = FullParams.default(SamplingStrategy.BEAM_SEARCH)
+    p.beam_size = 2
+    main_ctx.attach_draft(draft_ctx)
+    try:
+        st = main_ctx.create_state()
+        st.full(p, jfk_like_audio[: 16000 * 2])
+        assert st.spec_stats is None
+        assert st.draft_cross_k is None    # encode_draft never ran
+    finally:
+        main_ctx.draft = None
+
+
 def test_attach_draft_vocab_mismatch(main_ctx):
     hp = dataclasses.replace(tiny_test_hparams(), n_vocab=51865 + 1)
     other = wt.WhisperContext.random(
