@@ -233,8 +233,8 @@ def test_spec_with_keep_quantized_main(tmp_path, jfk_like_audio):
         path, ContextParams(dtype="float32", keep_quantized=True,
                             draft_model=path, spec_k=4))
     assert ctx_s.draft is not None
-    # the draft itself loads dequantized (plain weights)
-    assert "w" in ctx_s.draft.params["decoder"]["blocks"]["mlp_0"]
+    # keep_quantized is inherited: the draft serves int8-resident too
+    assert "q" in ctx_s.draft.params["decoder"]["blocks"]["mlp_0"]
     st2 = ctx_s.create_state()
     st2.full(p, audio)
     got = [[t.id for t in s.tokens] for s in st2.segments]

@@ -104,7 +104,10 @@ class WhisperContext:
             path, cp.dtype, cp.keep_quantized).params)
         if cp.draft_model:
             import dataclasses as _dc
-            dcp = _dc.replace(cp, draft_model=None, keep_quantized=False)
+            # keep_quantized is inherited: the k draft forwards per round
+            # are the speculation overhead, and int8-resident draft weights
+            # halve that read (PERF.md "Speculative greedy decoding")
+            dcp = _dc.replace(cp, draft_model=None)
             ctx.attach_draft(cls.new_with_params(cp.draft_model, dcp))
         return ctx
 
