@@ -60,6 +60,8 @@ def main(argv=None) -> int:
     ap.add_argument("--metadata", default=None,
                     help="metadata CSV restricting the file set")
     ap.add_argument("-bs", "--beam-size", type=int, default=-1)
+    ap.add_argument("--draft-model", default=None,
+                    help="speculative-decoding draft checkpoint (greedy runs)")
     ap.add_argument("-n", "--max-files", type=int, default=0)
     args = ap.parse_args(argv)
 
@@ -74,7 +76,11 @@ def main(argv=None) -> int:
         codes = codes[: args.max_files]
 
     media_dir = os.path.join(args.dataset, "media")
-    ctx = WhisperContext.new_with_params(args.model)
+    cp = None
+    if args.draft_model:
+        from whisper_tpu.config import ContextParams
+        cp = ContextParams(draft_model=args.draft_model)
+    ctx = WhisperContext.new_with_params(args.model, cp)
     p = FullParams.default(SamplingStrategy.BEAM_SEARCH if args.beam_size > 1
                            else SamplingStrategy.GREEDY)
     if args.beam_size > 1:

@@ -45,6 +45,8 @@ def main(argv=None) -> int:
     ap.add_argument("-m", "--model", required=True)
     ap.add_argument("-d", "--dataset", required=True, help="LibriSpeech split dir")
     ap.add_argument("-bs", "--beam-size", type=int, default=-1)
+    ap.add_argument("--draft-model", default=None,
+                    help="speculative-decoding draft checkpoint (greedy runs)")
     ap.add_argument("-n", "--max-files", type=int, default=0)
     ap.add_argument("--hyp-dir", default=None,
                     help="write per-utterance hypothesis .txt next to audio")
@@ -62,7 +64,11 @@ def main(argv=None) -> int:
         print("no audio found (convert .flac to .wav first)", file=sys.stderr)
         return 1
 
-    ctx = WhisperContext.new_with_params(args.model)
+    cp = None
+    if args.draft_model:
+        from whisper_tpu.config import ContextParams
+        cp = ContextParams(draft_model=args.draft_model)
+    ctx = WhisperContext.new_with_params(args.model, cp)
     p = FullParams.default(SamplingStrategy.BEAM_SEARCH if args.beam_size > 1
                            else SamplingStrategy.GREEDY)
     if args.beam_size > 1:
