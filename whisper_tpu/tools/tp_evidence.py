@@ -132,6 +132,55 @@ def tp_compile_evidence(tp: int, preset: str = "large-v3",
     return out
 
 
+def spec_tp_compile_evidence(tp: int = 2, preset: str = "large-v3",
+                             k_spec: int = 8) -> dict:
+    """TP x speculative: the latency feature composes with model sharding —
+    main model TP-sharded, 2-layer distil-shaped draft replicated (its
+    weights are ~4% of the main's; sharding them would add collectives for
+    nothing). Per-shard memory must drop for the main weights only."""
+    import dataclasses as _dc
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from whisper_tpu.config import FullParams, PRESET_HPARAMS
+    from whisper_tpu.decoding import filters
+    from whisper_tpu.decoding.speculative import decode_window_speculative
+    from whisper_tpu.parallel import mesh as mesh_mod
+    from whisper_tpu.tokenizer import synthetic_vocab
+
+    hp = PRESET_HPARAMS[preset]
+    hp_d = _dc.replace(hp, n_text_layer=2)
+    mesh = mesh_mod.make_mesh(1, tp)
+    abs_params = _abs_sharded_params(hp, mesh, tp=tp > 1)
+    abs_draft = _abs_sharded_params(hp_d, mesh, tp=False)   # replicated
+
+    vocab = synthetic_vocab(hp.n_vocab)
+    consts, tids = filters.build_filter_consts(vocab, hp, FullParams.default())
+
+    def sds(shape, dtype, spec=None):
+        return jax.ShapeDtypeStruct(
+            shape, dtype,
+            sharding=NamedSharding(mesh, spec if spec is not None else P()))
+
+    L, H = hp.n_text_layer, hp.n_text_head
+    dh = hp.n_text_state // H
+    i32, bf16 = jnp.int32, jnp.bfloat16
+    ck = sds((L, 1, H, hp.n_audio_ctx, dh), bf16,
+             P(None, None, "model", None, None))
+    dck = sds((2, 1, H, hp.n_audio_ctx, dh), bf16)
+    prompt_max = hp.n_text_ctx // 2 + 8
+    with mesh:
+        sdec = decode_window_speculative.lower(
+            abs_params, abs_draft, hp, hp_d, consts, ck, ck, dck, dck,
+            sds((prompt_max,), i32), sds((), i32),
+            sds((), i32), sds((), i32),
+            tids=tids, k_spec=k_spec, dtype=bf16).compile()
+    return {"tp": tp, "preset": preset, "spec_k": k_spec,
+            "decode_speculative": _report(sdec)}
+
+
 def main() -> int:
     import os
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -142,6 +191,8 @@ def main() -> int:
     n = len(jax.devices())
     degrees = [d for d in (1, 2, 4) if d <= n]
     results = [tp_compile_evidence(tp) for tp in degrees]
+    if 2 in degrees:
+        results.append(spec_tp_compile_evidence(2))
     print(json.dumps(results, indent=1))
     return 0
 
