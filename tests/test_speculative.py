@@ -354,7 +354,7 @@ def test_spec_not_used_under_beam(main_ctx, draft_ctx, jfk_like_audio):
     path (and so never pay the draft encoder pass)."""
     from whisper_tpu.config import SamplingStrategy
     p = FullParams.default(SamplingStrategy.BEAM_SEARCH)
-    p.beam_size = 2
+    p.beam_search.beam_size = 2
     main_ctx.attach_draft(draft_ctx)
     try:
         st = main_ctx.create_state()

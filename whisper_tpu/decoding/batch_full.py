@@ -30,7 +30,7 @@ from whisper_tpu.config import CHUNK_SIZE, FullParams
 from whisper_tpu.decoding import batch_loop, device_loop, filters, scoring
 from whisper_tpu.decoding import segments as seg_mod
 
-DELTA_MIN = 10
+from whisper_tpu.decoding.state_machine import DELTA_MIN  # single copy
 
 
 class _RowsView:

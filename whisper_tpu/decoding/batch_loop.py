@@ -27,7 +27,6 @@ from whisper_tpu.config import CHUNK_SIZE, WhisperHParams
 from whisper_tpu.decoding import state_machine
 from whisper_tpu.decoding.device_loop import (
     BEAM,
-    DELTA_MIN,
     HASH_MULT,
     NEG_INF,
     SAMPLE,

@@ -38,7 +38,7 @@ from whisper_tpu.models import whisper as model_mod
 from whisper_tpu.models.whisper import KVCache
 
 NEG_INF = float("-inf")
-DELTA_MIN = 10           # 100 ms guard (reference :6847)
+DELTA_MIN = state_machine.DELTA_MIN   # single copy: state_machine.py
 # numpy (not jnp): a module-level jnp constant would initialize the XLA
 # backend at import, breaking jax.distributed.initialize in multi-host runs
 import numpy as _np

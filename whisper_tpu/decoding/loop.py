@@ -28,7 +28,7 @@ from whisper_tpu.config import (
 from whisper_tpu.decoding import device_loop, filters, scoring, segments as seg_mod
 from whisper_tpu.decoding.language import lang_auto_detect
 
-DELTA_MIN = 10  # 100 ms (reference :6847)
+from whisper_tpu.decoding.state_machine import DELTA_MIN  # single copy
 
 
 def run_full(state: WhisperState, params: FullParams, samples: Optional[np.ndarray]) -> List[Segment]:
@@ -78,6 +78,18 @@ def run_full(state: WhisperState, params: FullParams, samples: Optional[np.ndarr
         return segs
 
     result_all: List[Segment] = []
+    state.spec_stats = None          # per-run acceptance counters
+
+    # speculative greedy decoding is usable when a draft is attached, the
+    # request has no host-interactive features, and a greedy t=0 attempt can
+    # actually occur (GREEDY strategy, ladder starting at 0) — else neither
+    # the draft mel nor the per-window draft encoder pass is worth paying
+    spec_eligible = (ctx.draft is not None
+                     and params.strategy == SamplingStrategy.GREEDY
+                     and params.temperature <= 0.0
+                     and params.grammar_rules is None
+                     and params.logits_filter_callback is None
+                     and not ctx.is_stub and not ctx.draft.is_stub)
 
     # --- VAD preprocessing (reference whisper_full :7717-7734) -------------
     if params.vad:
@@ -93,28 +105,17 @@ def run_full(state: WhisperState, params: FullParams, samples: Optional[np.ndarr
         state.pcm_to_mel(samples, debug=params.debug_mode)
         # speculative decoding: the draft model needs its own mel (different
         # filterbank / n_mels), from the SAME (VAD-filtered) samples —
-        # unless it shares the frozen teacher encoder (no draft mel at all)
-        if (ctx.draft is not None and not ctx.draft.is_stub
-                and not ctx.cparams.draft_shares_encoder):
+        # unless it shares the frozen teacher encoder (no draft mel at all).
+        # Only when this request can actually use the draft.
+        if spec_eligible and not ctx.cparams.draft_shares_encoder:
             from whisper_tpu.audio import mel as mel_mod
             state.draft_mel, _, _ = mel_mod.log_mel_spectrogram(
                 samples, ctx.draft.mel_filters)
     if state.mel is None:
         raise RuntimeError("no mel: provide samples or call set_mel first")
 
-    # speculative greedy decoding is usable when a draft is attached, the
-    # request has no host-interactive features, and a greedy t=0 attempt
-    # can actually occur (GREEDY strategy, ladder starting at 0) — else
-    # the per-window draft encoder pass would be paid for nothing
-    use_spec = (ctx.draft is not None
-                and (state.draft_mel is not None
-                     or ctx.cparams.draft_shares_encoder)
-                and params.strategy == SamplingStrategy.GREEDY
-                and params.temperature <= 0.0
-                and params.grammar_rules is None
-                and params.logits_filter_callback is None
-                and not ctx.is_stub and not ctx.draft.is_stub)
-    state.spec_stats = None          # per-run acceptance counters
+    use_spec = spec_eligible and (state.draft_mel is not None
+                                  or ctx.cparams.draft_shares_encoder)
 
     # --- language auto-detect (:6814-6830) ----------------------------------
     language = params.language

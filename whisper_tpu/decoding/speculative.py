@@ -43,7 +43,7 @@ from jax import lax
 
 from whisper_tpu.config import CHUNK_SIZE, WhisperHParams
 from whisper_tpu.decoding import state_machine
-from whisper_tpu.decoding.device_loop import DELTA_MIN, WindowResult
+from whisper_tpu.decoding.device_loop import WindowResult
 from whisper_tpu.decoding.filters import (
     FilterConsts,
     TokenIds,

@@ -77,6 +77,10 @@ def main(argv=None) -> int:
 
     media_dir = os.path.join(args.dataset, "media")
     cp = None
+    if args.draft_model and args.beam_size > 1:
+        print("warning: --draft-model ignored (speculative decoding "
+              "is greedy-only)", file=sys.stderr)
+        args.draft_model = None
     if args.draft_model:
         from whisper_tpu.config import ContextParams
         cp = ContextParams(draft_model=args.draft_model)
