@@ -180,11 +180,17 @@ def main(argv=None) -> int:
     ap.add_argument("--length", type=int, default=10000)
     ap.add_argument("--keep", type=int, default=200)
     ap.add_argument("-l", "--language", default="en")
+    ap.add_argument("--draft-model", default=None,
+                    help="speculative-decoding draft checkpoint")
     args = ap.parse_args(argv)
 
     from whisper_tpu.audio.io import read_wav
 
-    ctx = WhisperContext.new_with_params(args.model)
+    cp = None
+    if args.draft_model:
+        from whisper_tpu.config import ContextParams
+        cp = ContextParams(draft_model=args.draft_model)
+    ctx = WhisperContext.new_with_params(args.model, cp)
     sp = StreamParams(step_ms=args.step, length_ms=args.length,
                       keep_ms=args.keep, language=args.language)
     st = StreamTranscriber(ctx, sp, on_segment=lambda t, c: print(
