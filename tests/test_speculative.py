@@ -160,6 +160,18 @@ def test_spec_max_tokens_mid_chunk(main_ctx, draft_ctx, jfk_like_audio):
     assert int(spec.n_tokens) <= 4
 
 
+@pytest.mark.parametrize("seed", [11, 22, 33, 44])
+def test_spec_seed_sweep(seed, jfk_like_audio):
+    """Randomized equivalence sweep: different (main, draft) weight pairs
+    exercise different timestamp/terminal paths through the chunk replay."""
+    main = _sharp_ctx(seed=seed)
+    draft = _sharp_ctx(seed=seed + 1000)
+    params = FullParams.default()
+    van, spec = _window_results(
+        main, draft, jfk_like_audio[: 16000 * 2], params, 5)
+    _assert_same(van, spec)
+
+
 def test_spec_short_window(main_ctx, draft_ctx, jfk_like_audio):
     """1.2 s of audio: end-of-audio / rl0 terminal rules fire within the
     first chunks and must match vanilla exactly."""
