@@ -238,3 +238,72 @@ def test_batch_grammar_over_budget_falls_back(ctx, audios):
     assert cached_dfa(p.grammar_rules, ctx.vocab) is None
     res = ctx.full_batch(p, audios[:2])
     assert len(res) == 2
+
+
+def test_batch_initial_prompt_matches_sequential(ctx, audios):
+    """initial_prompt must condition the batch path like run_full
+    (r3 review: it was silently ignored)."""
+    p = _decisive_p()
+    p.initial_prompt = None
+    p.prompt_tokens = [260, 261, 262]
+    got = ctx.full_batch(p, audios[:1])[0]
+    st = ctx.create_state()
+    st.full(p, audios[0])
+    assert [[t.id for t in s.tokens] for s in got] == \
+           [[t.id for t in s.tokens] for s in st.segments]
+    # and it must actually change the output vs no prompt
+    p2 = _decisive_p()
+    base = ctx.full_batch(p2, audios[:1])[0]
+    tok = lambda segs: [[t.id for t in s.tokens] for s in segs]
+    # (random weights: conditioning almost surely changes the stream)
+    assert tok(got) != tok(base) or len(tok(got)) == 0
+
+
+def test_batch_duration_offset_matches_sequential(ctx, audios):
+    """duration_ms / offset_ms must bound the batch path like run_full
+    (r3 review: duration_ms was ignored)."""
+    p = _decisive_p()
+    p.offset_ms = 500
+    p.duration_ms = 1500
+    got = ctx.full_batch(p, audios[1:2])[0]
+    st = ctx.create_state()
+    st.full(p, audios[1])
+    assert [(s.t0, s.t1, [t.id for t in s.tokens]) for s in got] == \
+           [(s.t0, s.t1, [t.id for t in s.tokens]) for s in st.segments]
+
+
+def test_batch_vad_matches_sequential(ctx, audios, tmp_path):
+    """params.vad must filter + remap in the batch path like run_full
+    (r3 review: it was ignored)."""
+    from whisper_tpu.models import vad as vad_mod
+
+    vad_path = str(tmp_path / "vad.bin")
+    vad_mod.write_vad_ggml(vad_path, vad_mod.random_vad_model(seed=0))
+    p = _decisive_p()
+    p.vad = True
+    p.vad_model_path = vad_path
+    # random VAD weights hover near 0.5; low threshold exercises splice+remap
+    p.vad_params.threshold = 0.01
+    got = ctx.full_batch(p, audios[:1])[0]
+    st = ctx.create_state()
+    st.full(p, audios[0])
+    assert [(s.t0, s.t1, [t.id for t in s.tokens]) for s in got] == \
+           [(s.t0, s.t1, [t.id for t in s.tokens]) for s in st.segments]
+
+
+def test_batch_lang_autodetect_matches_sequential(audios):
+    """language=None on a multilingual model must auto-detect per utterance
+    in the batch path like run_full (r3 review: it silently decoded as
+    English, and 'auto' corrupted the task prompt via token_lang(-1))."""
+    import dataclasses
+    hp = dataclasses.replace(tiny_test_hparams(), n_vocab=51865)
+    mctx = wt.WhisperContext.random(
+        hp=hp, params=ContextParams(dtype="float32"), seed=3)
+    for lang in (None, "auto"):
+        p = _decisive_p()
+        p.language = lang
+        got = mctx.full_batch(p, audios[:1])[0]
+        st = mctx.create_state()
+        st.full(p, audios[0])
+        assert [[t.id for t in s.tokens] for s in got] == \
+               [[t.id for t in s.tokens] for s in st.segments], lang

@@ -119,9 +119,11 @@ class WhisperContext:
         ckpt = loader_mod.ggml_io.read_ggml(io.BytesIO(buf))
         # the caller owns `buf` already; re-parsing it on twin demand costs
         # no extra resident memory beyond that existing buffer
-        return cls(loader_mod.params_from_checkpoint(ckpt, cp.dtype), params,
+        return cls(loader_mod.params_from_checkpoint(
+                       ckpt, cp.dtype, cp.keep_quantized), params,
                    host_params_rebuild=lambda: loader_mod.params_from_checkpoint(
-                       loader_mod.ggml_io.read_ggml(io.BytesIO(buf)), cp.dtype).params)
+                       loader_mod.ggml_io.read_ggml(io.BytesIO(buf)),
+                       cp.dtype, cp.keep_quantized).params)
 
     @classmethod
     def random(cls, preset: str = "tiny", params: Optional[ContextParams] = None,
@@ -316,6 +318,7 @@ class WhisperState:
         self.timings = Timings()
         self.no_speech_prob: float = 0.0
         self._last_logits: Optional[jax.Array] = None
+        self._mel_host: Optional[np.ndarray] = None   # set_mel's host copy
         # speculative decoding: the draft model's own mel (its filterbank /
         # n_mels may differ, e.g. 80 vs large-v3's 128) and per-window
         # cross-KV (decoding/speculative.py)
@@ -334,6 +337,7 @@ class WhisperState:
         self.mel, self.n_len, self.n_len_org = mel_mod.log_mel_spectrogram(
             samples, self.ctx.mel_filters)
         self.mel.block_until_ready()
+        self._mel_host = None   # stale set_mel copy, if any
         # new audio: any draft mel/cross-KV from earlier samples is stale
         # (run_full recomputes the draft mel from these samples when needed)
         self.draft_mel = None
@@ -347,6 +351,10 @@ class WhisperState:
 
     def set_mel(self, mel: np.ndarray, n_len_org: Optional[int] = None) -> None:
         """reference whisper_set_mel_with_state (src/whisper.cpp:4005-4035)."""
+        # keep the caller's host copy: the CPU-twin reroute (decoding/loop.py)
+        # must hand the mel to the twin, and reading a device array back is
+        # impossible on D2H-less relays
+        self._mel_host = np.asarray(mel)
         mel = jnp.asarray(mel)
         if mel.shape[0] != self.ctx.hparams.n_mels:
             raise ValueError(f"invalid n_mels {mel.shape[0]}")

@@ -87,28 +87,82 @@ def run_full_batch(
     temperatures = params.temperatures()
 
     no_timestamps = params.no_timestamps
-    prompt_init = [vocab.token_sot]
-    language = params.language or "en"
-    if hp.is_multilingual:
-        lang_id = languages.lang_id(language)
-        prompt_init.append(vocab.token_lang(lang_id))
-        prompt_init.append(vocab.token_translate if params.translate
-                           else vocab.token_transcribe)
-    if no_timestamps:
-        prompt_init.append(vocab.token_not)
+    # distil models force no_timestamps (run_full's is_distil rule,
+    # reference src/whisper.cpp:6954-6959)
+    if hp.n_text_layer == 2 and hp.n_vocab != 51866 and not no_timestamps:
+        no_timestamps = True
 
     # per-utterance host state
     states = [ctx.create_state() for _ in range(B)]
+    audios = [np.asarray(a, np.float32) for a in audios]
+    results: List[List[Segment]] = [[] for _ in range(B)]
+
+    # --- VAD preprocessing per utterance (matches run_full / the reference
+    # whisper_full at :7717-7734; segment times remapped after the loop) ---
+    vad_mappings = [None] * B
+    if params.vad:
+        from whisper_tpu.models.vad import vad_filter_audio
+        for b in range(B):
+            filtered, vad_mappings[b] = vad_filter_audio(
+                states[b], audios[b], params)
+            audios[b] = (filtered if filtered is not None and len(filtered)
+                         else np.zeros(0, np.float32))
+
     for st, audio in zip(states, audios):
-        st.pcm_to_mel(np.asarray(audio, np.float32))
-        if params.token_timestamps:
+        if len(audio):
+            st.pcm_to_mel(audio)
+        if params.token_timestamps and len(audio):
             from whisper_tpu.decoding.timestamps import get_signal_energy
             st.t_beg = st.t_last = st.tid_last = 0
-            st.energy = get_signal_energy(np.asarray(audio, np.float32), 32)
-    seek = np.array([params.offset_ms // 10] * B, np.int32)
-    seek_end = np.array([st.n_len_org for st in states], np.int32)
+            st.energy = get_signal_energy(audio, 32)
+
+    # --- per-utterance language (auto-detect like run_full :121-126 /
+    # reference :6814-6830) ------------------------------------------------
+    language = params.language
+    need_detect = (language in (None, "", "auto") or params.detect_language)
+    lang_ids = np.zeros(B, np.int32)
+    if hp.is_multilingual:
+        for b in range(B):
+            if need_detect:
+                if states[b].mel is not None:
+                    from whisper_tpu.decoding.language import lang_auto_detect
+                    lid, _ = lang_auto_detect(states[b], 0)
+                else:
+                    lid = 0
+            else:
+                lid = languages.lang_id(language)
+            lang_ids[b] = lid
+            states[b].lang_id = int(lid)
+    if params.detect_language:
+        return results
+
+    def _prompt_init(b: int) -> List[int]:
+        pi = [vocab.token_sot]
+        if hp.is_multilingual:
+            pi.append(vocab.token_lang(int(lang_ids[b])))
+            pi.append(vocab.token_translate if params.translate
+                      else vocab.token_transcribe)
+        if no_timestamps:
+            pi.append(vocab.token_not)
+        return pi
+
+    prompt_inits = [_prompt_init(b) for b in range(B)]
+
+    seek_start = params.offset_ms // 10
+    seek = np.array([seek_start] * B, np.int32)
+    seek_end = np.array([
+        (st.n_len_org if params.duration_ms == 0
+         else seek_start + params.duration_ms // 10)
+        for st in states], np.int32)
+
+    # initial prompt seeds every utterance's past (run_full :150-153,
+    # reference :6906-6931)
     prompt_past: List[List[int]] = [[] for _ in range(B)]
-    results: List[List[Segment]] = [[] for _ in range(B)]
+    if params.initial_prompt and not params.prompt_tokens:
+        params.prompt_tokens = ctx.tokenizer.encode(params.initial_prompt)
+    if params.prompt_tokens:
+        prompt_past = [list(params.prompt_tokens) for _ in range(B)]
+
     done = np.array([seek_end[b] < seek[b] + DELTA_MIN for b in range(B)])
 
     data_sharding = None
@@ -139,24 +193,11 @@ def run_full_batch(
             if active[b]:
                 states[b].timings.add("encode", (time.perf_counter() - t0) / max(1, active.sum()))
 
-        # ---- per-row prompts (padded to the smallest shared bucket — see
-        # loop.py prompt_bucket; one bucket per round keeps rows uniform) --
-        plens = np.ones(B, np.int32)
-        row_prompts: List[List[int]] = []
+        # drop stale prompt near the end (run_full :214-215, reference
+        # :7013-7016)
         for b in range(B):
-            pr: List[int] = []
-            if prompt_past[b] and params.n_max_text_ctx > 0:
-                n_take = min(params.n_max_text_ctx, hp.n_text_ctx // 2,
-                             len(prompt_past[b]))
-                pr = [vocab.token_prev] + prompt_past[b][-n_take:]
-            pr = (pr + prompt_init)[:prompt_max]
-            row_prompts.append(pr)
-            plens[b] = len(pr)
-        buckets = sorted({min(8, prompt_max), min(64, prompt_max), prompt_max})
-        bucket = next(bb for bb in buckets if plens.max() <= bb)
-        prompts = np.zeros((B, bucket), np.int32)
-        for b in range(B):
-            prompts[b, : len(row_prompts[b])] = row_prompts[b]
+            if active[b] and seek[b] > seek_start and seek[b] + 500 >= seek_end[b]:
+                prompt_past[b] = []
 
         # ---- decode attempts over the temperature ladder ------------------
         # each utterance owns K decoder rows per attempt: beam_size under
@@ -180,6 +221,29 @@ def run_full_batch(
                     strat = device_loop.BEAM
                     K = params.beam_search.beam_size
             K = max(1, K)
+
+            # per-row prompts for THIS attempt: past-text conditioning only
+            # below t=0.5 (run_full :234-238, reference :7076) — padded to
+            # the smallest shared bucket (loop.py prompt_bucket)
+            plens = np.ones(B, np.int32)
+            row_prompts: List[List[int]] = []
+            for b in range(B):
+                pr: List[int] = []
+                if (prompt_past[b] and t_cur < 0.5
+                        and params.n_max_text_ctx > 0):
+                    n_take = min(params.n_max_text_ctx, hp.n_text_ctx // 2,
+                                 len(prompt_past[b]))
+                    pr = [vocab.token_prev] + prompt_past[b][-n_take:]
+                pr = (pr + prompt_inits[b])[:prompt_max]
+                row_prompts.append(pr)
+                plens[b] = len(pr)
+            buckets = sorted({min(8, prompt_max), min(64, prompt_max),
+                              prompt_max})
+            bucket = next(bb for bb in buckets if plens.max() <= bb)
+            prompts = np.zeros((B, bucket), np.int32)
+            for b in range(B):
+                prompts[b, : len(row_prompts[b])] = row_prompts[b]
+
             t0 = time.perf_counter()
             res = batch_loop.decode_windows_batch(
                 ctx.params, hp, consts, ck, cv,
@@ -220,7 +284,8 @@ def run_full_batch(
                 best[b] = (res, b * K + j,
                            sc or scoring.score_sequence(
                                np.zeros(0, np.int32), np.zeros(0, np.float32),
-                               params.length_penalty))
+                               params.length_penalty),
+                           row_prompts[b])
                 if not fallback:
                     needy[b] = False
             # rows still needy rerun at the next temperature
@@ -229,7 +294,7 @@ def run_full_batch(
         for b in range(B):
             if not active[b]:
                 continue
-            res, rb, sc = best[b]
+            res, rb, sc, win_prompt = best[b]
             result_len = int(res.result_len[rb])
             sd = int(res.seek_delta[rb])
             nsp = float(res.no_speech_prob[b])   # per-utterance (U,)
@@ -244,12 +309,16 @@ def run_full_batch(
             is_no_speech = (nsp > params.no_speech_thold
                             and sc.avg_logprobs < params.logprob_thold)
 
+            # update prompt_past from the WINNING attempt's prompt
+            # (reference :7563-7571; no_context only clears the carry-in at
+            # call start — cross-window carry within one call is
+            # unconditional, matching run_full)
             new_past: List[int] = []
-            if row_prompts[b] and row_prompts[b][0] == vocab.token_prev:
-                new_past = row_prompts[b][1 : len(row_prompts[b]) - len(prompt_init)]
+            if win_prompt and win_prompt[0] == vocab.token_prev:
+                new_past = win_prompt[1 : len(win_prompt) - len(prompt_inits[b])]
             if not is_no_speech:
                 new_past += [td.id for td in tokens_cur]
-            prompt_past[b] = [] if params.no_context else new_past
+            prompt_past[b] = new_past
 
             if tokens_cur and not is_no_speech:
                 segs = seg_mod.emit_segments(
@@ -278,6 +347,15 @@ def run_full_batch(
             if seek[b] + DELTA_MIN >= seek_end[b]:
                 done[b] = True
         rng_seed += 1000
+
+    # remap segment times through each utterance's VAD mapping
+    # (reference :7882-7960, as in run_full)
+    if params.vad:
+        from whisper_tpu.models.vad import remap_segment_times
+        for b in range(B):
+            if vad_mappings[b]:
+                for s in results[b]:
+                    remap_segment_times(s, vad_mappings[b])
 
     if timings_sink is not None:
         # aggregate per-utterance timings (reference whisper_full_parallel

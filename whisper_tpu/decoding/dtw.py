@@ -114,6 +114,21 @@ def dtw_path(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return np.array(text_idx[::-1]), np.array(time_idx[::-1])
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("hp", "dtype"))
+def _qk_forward_jit(params, tokens, pos0, kv, cross_k, cross_v, logit_rows,
+                    *, hp, dtype):
+    """Module-level jit (cached across windows/calls — a per-call
+    jit(partial(...)) recompiled the cross-QK decode every window, r3
+    review) of the collect_cross_qk decoder forward."""
+    from whisper_tpu.models import whisper as model_mod
+    return model_mod.decoder_forward(
+        params, hp, tokens, pos0, kv, cross_k, cross_v, dtype,
+        collect_cross_qk=True, logit_rows=logit_rows)
+
+
 def _extract_alignment(cross_qk, aheads, n_audio_tokens):
     """(L, 1, H, T, Ta) device array -> (N_heads, T, n_audio_tokens) f32."""
     layers = jnp.asarray([l for l, _ in aheads])
@@ -158,20 +173,17 @@ def compute_dtw_timestamps(
     tokens.append(vocab.token_eot)
 
     from whisper_tpu.models.whisper import KVCache
-    from whisper_tpu.models import whisper as model_mod
-    import functools
 
     n_tok = len(tokens)
     kv = KVCache.zeros(hp, 1, ctx.dtype, size=-(-n_tok // 128) * 128)
 
-    fwd = jax.jit(functools.partial(
-        model_mod.decoder_forward, hp=hp, dtype=ctx.dtype, collect_cross_qk=True))
-    _, _, cross_qk = fwd(
+    _, _, cross_qk = _qk_forward_jit(
         ctx.params,
-        tokens=jnp.asarray(np.asarray(tokens, np.int32)[None]),
-        pos0=jnp.int32(0), kv=kv,
-        cross_k=state.cross_k, cross_v=state.cross_v,
-        logit_rows=jnp.int32(0))  # QKs only — skip the vocab projection
+        jnp.asarray(np.asarray(tokens, np.int32)[None]),
+        jnp.int32(0), kv,
+        state.cross_k, state.cross_v,
+        jnp.int32(0),  # QKs only — skip the vocab projection
+        hp=hp, dtype=ctx.dtype)
 
     n_audio_tokens = max(1, n_frames // 2)
     n_audio_tokens = min(n_audio_tokens, cross_qk.shape[-1])

@@ -24,7 +24,8 @@ def lang_auto_detect(state, offset_ms: int = 0) -> Tuple[int, np.ndarray]:
         raise ValueError(f"offset {offset_ms}ms is before the start of the audio")
     if state.mel is None:
         raise RuntimeError("pcm_to_mel must run before lang_detect")
-    if seek >= 10 * state.n_len:
+    if seek >= state.n_len_org:
+        # reference bound: the UNPADDED mel length (src/whisper.cpp:4051)
         raise ValueError(f"offset {offset_ms}ms is past the end of the audio")
 
     state.encode(seek)

@@ -66,6 +66,14 @@ def run_full(state: WhisperState, params: FullParams, samples: Optional[np.ndarr
             "grammar/logits-callback decoding requires per-token host "
             "logits; running this request on the CPU backend")
         twin_state = ctx.cpu_twin().create_state()
+        # carry the caller state's observable inputs: a set_mel-provided mel
+        # (samples may be None; set_mel kept a host copy) and the cross-call
+        # prompt_past context
+        if (samples is None or len(samples) == 0) and state.mel is not None:
+            host_mel = getattr(state, "_mel_host", None)
+            if host_mel is not None:
+                twin_state.set_mel(host_mel, state.n_len_org)
+        twin_state.prompt_past = list(getattr(state, "prompt_past", []))
         with jax.default_device(jax.devices("cpu")[0]):
             segs = run_full(twin_state, params, samples)
         # surface the twin's observable state on the caller's state object

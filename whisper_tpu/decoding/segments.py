@@ -21,10 +21,10 @@ def emit_segments(
     tokenizer: Tokenizer,
     params: FullParams,
     no_speech_prob: float,
-) -> tuple:
+) -> "List[Segment]":
     """Split a window's token stream at timestamp pairs into segments
     (reference :7563-7655). Timestamps are centiseconds: t = seek +
-    2*(tid - beg). Returns (segments, speaker_turn_leftover)."""
+    2*(tid - beg)."""
     segments: List[Segment] = []
     if not tokens:
         return segments
