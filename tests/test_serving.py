@@ -190,3 +190,38 @@ def test_read_audio_data_wav_stereo(tmp_path):
     mono2, chans2 = read_audio_data(path)          # stereo not requested
     assert chans2 is None
     np.testing.assert_allclose(mono2, mono)
+
+
+def test_multipart_binary_payload_preserved():
+    """Trailing CR/LF bytes inside a binary part must survive parsing —
+    a blanket strip(b'\\r\\n') corrupted WAV payloads whose final PCM
+    bytes happen to be 0x0D/0x0A (r3 review)."""
+    from whisper_tpu.serving.server import _parse_multipart
+
+    payload = b"RIFFxxxx" + bytes([0, 10, 13, 10])   # ends with \n\r\n
+    body = (b"--BND\r\n"
+            b'Content-Disposition: form-data; name="file"; filename="a.wav"\r\n'
+            b"Content-Type: audio/wav\r\n\r\n"
+            + payload + b"\r\n"
+            b"--BND\r\n"
+            b'Content-Disposition: form-data; name="temperature"\r\n\r\n'
+            b"0.0\r\n"
+            b"--BND--\r\n")
+    fields = _parse_multipart(body, 'multipart/form-data; boundary="BND"')
+    assert fields["file"] == payload
+    assert fields["temperature"].strip() == b"0.0"
+
+
+def test_server_word_thold_sets_thold_pt():
+    from whisper_tpu.serving.server import _params_from_fields
+    p = _params_from_fields({"word_thold": b"0.5"})
+    assert p.token_timestamps and p.thold_pt == 0.5
+
+
+def test_srt_offset_n(segs):
+    """-on offsets SRT numbering (reference cli.cpp output_srt)."""
+    import io
+    from whisper_tpu.serving.writers import write_srt
+    buf = io.StringIO()
+    write_srt(segs, buf, offset_n=5)
+    assert buf.getvalue().splitlines()[0] == "6"

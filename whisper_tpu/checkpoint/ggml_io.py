@@ -108,6 +108,10 @@ def read_ggml(path_or_file, max_tensors: Optional[int] = None) -> GgmlCheckpoint
 
         tensors: Dict[str, RawTensor] = {}
         while True:
+            # bound check BEFORE reading: max_tensors=0 (header-only peek)
+            # must not pull a whole tensor payload into memory (r3 review)
+            if max_tensors is not None and len(tensors) >= max_tensors:
+                break
             hdr = f.read(12)
             if len(hdr) < 12:
                 break
@@ -120,8 +124,6 @@ def read_ggml(path_or_file, max_tensors: Optional[int] = None) -> GgmlCheckpoint
             if len(data) < nbytes:
                 raise InvalidModelFormat(f"truncated tensor data for '{name}'")
             tensors[name] = RawTensor(name=name, ne=tuple(ne), ttype=ttype, data=data)
-            if max_tensors is not None and len(tensors) >= max_tensors:
-                break
 
         return GgmlCheckpoint(hp, qnt_version, filters, tokens, tensors)
     finally:

@@ -49,15 +49,17 @@ def save_native(model: LoadedModel, cache_dir: str) -> None:
 def load_native(cache_dir: str) -> Optional[LoadedModel]:
     """Restore a cached model; None if the cache is absent/incomplete."""
     meta_path = os.path.join(cache_dir, "meta.json")
+    filters_path = os.path.join(cache_dir, "mel_filters.f32")
     params_path = os.path.abspath(os.path.join(cache_dir, "params"))
-    if not (os.path.exists(meta_path) and os.path.isdir(params_path)):
+    if not (os.path.exists(meta_path) and os.path.exists(filters_path)
+            and os.path.isdir(params_path)):
         return None
     import orbax.checkpoint as ocp
 
     with open(meta_path) as f:
         meta = json.load(f)
     hp = WhisperHParams(**meta["hparams"])
-    filters = np.fromfile(os.path.join(cache_dir, "mel_filters.f32"),
+    filters = np.fromfile(filters_path,
                           dtype=np.float32).reshape(meta["mel_filters_shape"])
     tokens = [base64.b64decode(t) for t in meta["vocab"]]
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 import argparse
 import glob
 import os
+import subprocess
 import sys
 from typing import Dict, List
 
@@ -102,7 +103,8 @@ def main(argv=None) -> int:
             continue
         try:
             samples, _ = read_audio_data(media[0])
-        except FileNotFoundError:
+        except (FileNotFoundError, OSError, ValueError,
+                subprocess.CalledProcessError):
             print(f"skipping {media[0]} (no ffmpeg)", file=sys.stderr)
             continue
         st = ctx.create_state()

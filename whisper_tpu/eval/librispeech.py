@@ -17,6 +17,7 @@ from __future__ import annotations
 import argparse
 import glob
 import os
+import subprocess
 import sys
 from typing import Dict, List
 
@@ -86,8 +87,9 @@ def main(argv=None) -> int:
             continue
         try:
             samples, _ = read_audio_data(path)   # .flac decodes via ffmpeg
-        except FileNotFoundError:
-            print(f"skipping {path} (no ffmpeg for flac)", file=sys.stderr)
+        except (FileNotFoundError, OSError, ValueError,
+                subprocess.CalledProcessError):
+            print(f"skipping {path} (unreadable/undecodable)", file=sys.stderr)
             continue
         st = ctx.create_state()
         st.full(p, samples)
@@ -95,6 +97,7 @@ def main(argv=None) -> int:
         hyps.append(text)
         used_refs.append(refs[code])
         if args.hyp_dir:
+            os.makedirs(args.hyp_dir, exist_ok=True)
             with open(os.path.join(args.hyp_dir, code + ".txt"), "w") as f:
                 f.write(text)
         print(f"[{i + 1}/{len(files)}] {code}: {text[:60]!r}", file=sys.stderr)

@@ -238,7 +238,13 @@ def main(argv: Optional[List[str]] = None) -> int:
         for fmt, enabled in outs.items():
             if enabled:
                 with open(f"{base}.{fmt}", "w", encoding="utf-8") as f:
-                    writers.WRITERS[fmt](state.segments, f, args, pcmf32s)
+                    if fmt == "srt":
+                        # reference cli.cpp output_srt numbers from
+                        # offset_n + 1 (the -on flag)
+                        writers.write_srt(state.segments, f, args, pcmf32s,
+                                          offset_n=args.offset_n)
+                    else:
+                        writers.WRITERS[fmt](state.segments, f, args, pcmf32s)
         if args.output_json or args.output_json_full:
             with open(f"{base}.json", "w", encoding="utf-8") as f:
                 writers.write_json(

@@ -68,7 +68,7 @@ class LspServer:
         st = self.ctx.create_state()
         st.full(self._full_params(jparams), samples)
         text = st.full_get_all_text()
-        best_i, best_wer = 0, 2.0
+        best_i, best_wer = 0, float("inf")
         for i, cmd in enumerate(commands):
             d = wer_details(cmd, text, normalize=True)
             if d["wer"] < best_wer:

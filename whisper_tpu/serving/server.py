@@ -154,12 +154,17 @@ def _parse_multipart(body: bytes, content_type: str) -> Dict[str, bytes]:
     boundary = b"--" + m.group(1).encode()
     fields: Dict[str, bytes] = {}
     for part in body.split(boundary):
-        part = part.strip(b"\r\n")
-        if not part or part == b"--":
+        if not part or part.strip(b"\r\n-") == b"":
             continue
         if b"\r\n\r\n" not in part:
             continue
+        # split headers/body FIRST; only then trim the protocol framing —
+        # a blanket strip(b"\r\n") would eat 0x0D/0x0A bytes that belong to
+        # a binary WAV payload (r3 review)
         head, _, data = part.partition(b"\r\n\r\n")
+        head = head.strip(b"\r\n")
+        if data.endswith(b"\r\n"):
+            data = data[:-2]
         nm = re.search(rb'name="([^"]+)"', head)
         if nm:
             fields[nm.group(1).decode()] = data
@@ -189,7 +194,10 @@ def _params_from_fields(fields: Dict[str, bytes]) -> FullParams:
     p.duration_ms = get("duration", 0, int)
     p.no_timestamps = get("no_timestamps", "false") in ("true", "1")
     p.initial_prompt = get("prompt")
-    p.token_timestamps = get("word_thold", None) is not None
+    wt_ = get("word_thold", None, float)
+    p.token_timestamps = wt_ is not None
+    if wt_ is not None:
+        p.thold_pt = wt_     # reference server.cpp copies it into thold_pt
     p.max_len = get("max_len", 0, int)
     p.vad = get("vad", "false") in ("true", "1")
     p.vad_model_path = get("vad_model")

@@ -116,6 +116,11 @@ class StreamTranscriber:
         self.buffer = np.concatenate([self.buffer, np.asarray(samples, np.float32)])
         out: List[str] = []
         if self.use_vad:
+            # bound the backlog like the reference's ring buffer: only the
+            # last length_ms can ever be transcribed (stream.cpp
+            # audio.get(params.length_ms)), so keep no more than that
+            if len(self.buffer) > self.n_len:
+                self.buffer = self.buffer[-self.n_len:]
             # transcribe when the tail goes silent (reference :287-300)
             if len(self.buffer) > 2 * SAMPLE_RATE and vad_simple(
                     self.buffer[-2 * SAMPLE_RATE:], SAMPLE_RATE, 1000,
