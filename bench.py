@@ -48,7 +48,6 @@ BASELINE_RTF = {"tiny": 50.0, "base": 40.0, "small": 25.0, "medium": 10.0,
                 "large-v1": 4.0, "large-v2": 4.0, "large-v3": 4.0,
                 "large-v3-turbo": 8.0}
 N_TOK = 220
-REPS = 3
 
 
 def log(*a):
@@ -284,9 +283,6 @@ def largev3_beam5_compile_check() -> dict:
     # quantized serving path: same beam-5 window program with int8-block
     # weights resident in HBM + the Pallas dequant-in-kernel matmul
     # (ops/quant_matmul.py) — proves the kernel compiles at large-v3 dims
-    def to_q(leaf_path, s):
-        return jax.ShapeDtypeStruct(s.shape, s.dtype)
-
     def quantize_leaf(d):
         """matmul-weight leaf {'w': (in,out)} -> {'q': int8, 'd': scales}"""
         if not (isinstance(d, dict) and "w" in d):
@@ -355,9 +351,9 @@ def largev3_beam5_compile_check() -> dict:
             "compile_s": round(_t.perf_counter() - t0, 1), **mem(sdec)}
     except Exception as e:  # never break the bench line
         out["decode_window_speculative_k8"] = {"error": str(e)[:200]}
-    total = (dec.memory_analysis().argument_size_in_bytes
-             + dec.memory_analysis().temp_size_in_bytes)
-    out["hbm_peak_gb"] = round(total / 2**30, 2)
+    out["hbm_peak_gb"] = round(
+        out["decode_window_beam5"]["args_gb"]
+        + out["decode_window_beam5"]["temp_gb"], 2)
     log(f"large-v3 beam-5 decode_window compiled in {t_dec:.1f}s "
         f"(args {out['decode_window_beam5']['args_gb']} GB + temps "
         f"{out['decode_window_beam5']['temp_gb']} GB of 16 GB HBM); "

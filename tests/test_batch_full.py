@@ -307,3 +307,32 @@ def test_batch_lang_autodetect_matches_sequential(audios):
         st.full(p, audios[0])
         assert [[t.id for t in s.tokens] for s in got] == \
                [[t.id for t in s.tokens] for s in st.segments], lang
+
+
+def test_batch_vad_empty_utterance(ctx, audios, tmp_path):
+    """An utterance whose audio VAD filters away entirely yields [] and
+    must not break the other rows."""
+    from whisper_tpu.models import vad as vad_mod
+    vad_path = str(tmp_path / "vad.bin")
+    vad_mod.write_vad_ggml(vad_path, vad_mod.random_vad_model(seed=0))
+    p = _decisive_p()
+    p.vad = True
+    p.vad_model_path = vad_path
+    p.vad_params.threshold = 0.999999   # random probs ~0.5: nothing passes
+    res = ctx.full_batch(p, [audios[0], audios[2]])
+    assert res == [[], []]
+
+
+def test_too_many_decoders_errors():
+    """Requesting > MAX_DECODERS errors like the reference (:6881-6883)
+    instead of silently clamping."""
+    from whisper_tpu.config import SamplingStrategy
+    p = FullParams.default(SamplingStrategy.BEAM_SEARCH)
+    p.beam_search.beam_size = 16
+    assert p.n_decoders == 16
+    c = wt.WhisperContext.random(
+        hp=tiny_test_hparams(), params=ContextParams(dtype="float32"))
+    st = c.create_state()
+    import numpy as _np
+    with pytest.raises(ValueError):
+        st.full(p, _np.zeros(16000, _np.float32))

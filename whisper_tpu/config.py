@@ -315,12 +315,15 @@ class FullParams:
 
     @property
     def n_decoders(self) -> int:
-        # reference src/whisper.cpp:6866-6898
+        # reference src/whisper.cpp:6866-6898. NOT clamped: requesting more
+        # than MAX_DECODERS is an ERROR in the reference (:6881-6883 returns
+        # -4); run_full raises, matching that (a silent clamp here would
+        # decode with a different beam width than asked)
         if self.strategy == SamplingStrategy.GREEDY:
             n = self.greedy.best_of
         else:
             n = max(self.beam_search.beam_size, self.greedy.best_of)
-        return max(1, min(n, MAX_DECODERS))
+        return max(1, n)
 
     def temperatures(self) -> Tuple[float, ...]:
         """Temperature fallback ladder (reference src/whisper.cpp:6854-6863)."""

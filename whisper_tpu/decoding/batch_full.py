@@ -26,7 +26,7 @@ import numpy as np
 
 from whisper_tpu import languages
 from whisper_tpu.api import Segment, TokenData
-from whisper_tpu.config import CHUNK_SIZE, FullParams
+from whisper_tpu.config import CHUNK_SIZE, FullParams, MAX_DECODERS
 from whisper_tpu.decoding import batch_loop, device_loop, filters, scoring
 from whisper_tpu.decoding import segments as seg_mod
 
@@ -56,6 +56,9 @@ def run_full_batch(
     B = len(audios)
     if B == 0:
         return []
+    if params.n_decoders > MAX_DECODERS:
+        # reference errors rather than clamping (src/whisper.cpp:6881-6883)
+        raise ValueError(f"too many decoders requested ({params.n_decoders})")
 
     # DFA-compilable grammars fold into the lockstep loop as per-row table
     # gathers (decoding/grammar_dfa.py). Logits callbacks and over-budget
@@ -151,7 +154,8 @@ def run_full_batch(
     seek_start = params.offset_ms // 10
     seek = np.array([seek_start] * B, np.int32)
     seek_end = np.array([
-        (st.n_len_org if params.duration_ms == 0
+        (0 if st.mel is None                      # VAD removed everything
+         else st.n_len_org if params.duration_ms == 0
          else seek_start + params.duration_ms // 10)
         for st in states], np.int32)
 
@@ -175,7 +179,10 @@ def run_full_batch(
         active = ~done
 
         # ---- batched encode of each utterance's current window ------------
-        windows = [states[b].mel_window(int(seek[b]))[0] for b in range(B)]
+        windows = [
+            (states[b].mel_window(int(seek[b]))[0] if states[b].mel is not None
+             else jnp.zeros((hp.n_mels, 2 * hp.n_audio_ctx), jnp.float32))
+            for b in range(B)]
         mel_batch = jnp.stack(windows)                     # (B, n_mels, 3000)
         if data_sharding is not None:
             mel_batch = jax.device_put(mel_batch, data_sharding)

@@ -26,23 +26,32 @@ def init_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    auto_detect: bool = False,
 ) -> dict:
     """Initialize jax.distributed for a multi-host run.
 
-    On TPU pods, all three parameters auto-detect from the environment
-    (leave None). For manual CPU/GPU bring-up, supply them. Returns a
-    summary dict (process_index, process_count, device counts)."""
+    Supply the three parameters for manual CPU/GPU bring-up, or set
+    auto_detect=True on a TPU pod to let jax.distributed.initialize()
+    discover the topology from the TPU metadata environment (the bare
+    no-argument form — do not use on single-host dev boxes, where it
+    blocks looking for a coordinator). Returns a summary dict
+    (process_index, process_count, device counts)."""
     # NB: probe initialization state WITHOUT jax.process_count() — that
     # would initialize the XLA backend and make jax.distributed.initialize
     # itself fail ("must be called before any JAX calls")
     already = jax.distributed.is_initialized()
-    if not already and (coordinator_address or num_processes or
-                        os.environ.get("JAX_COORDINATOR_ADDRESS")):
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
+    if not already and (auto_detect
+                        or coordinator_address or num_processes
+                        or process_id is not None
+                        or os.environ.get("JAX_COORDINATOR_ADDRESS")):
+        if auto_detect and coordinator_address is None and num_processes is None:
+            jax.distributed.initialize()
+        else:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
     return {
         "process_index": jax.process_index(),
         "process_count": jax.process_count(),
@@ -53,10 +62,15 @@ def init_distributed(
 
 def local_batch_slice(global_batch: int) -> slice:
     """This host's slice of a globally-sharded utterance batch (each host
-    feeds its own audio; GSPMD stitches the global array)."""
-    per = global_batch // max(1, jax.process_count())
+    feeds its own audio; GSPMD stitches the global array). Remainder
+    utterances go one-each to the first `global_batch % P` hosts, so every
+    input is assigned exactly once (a plain floor division silently
+    dropped the tail — r3 review)."""
+    p = max(1, jax.process_count())
     i = jax.process_index()
-    return slice(i * per, (i + 1) * per)
+    per, rem = divmod(global_batch, p)
+    start = i * per + min(i, rem)
+    return slice(start, start + per + (1 if i < rem else 0))
 
 
 def host_count() -> int:

@@ -22,6 +22,10 @@ def run_one(preset: str, timeout: int = 900) -> dict:
         [sys.executable, os.path.join(os.path.dirname(__file__), "..", "..", "bench.py")],
         env=env, capture_output=True, text=True, timeout=timeout)
     out = {"preset": preset}
+    if proc.returncode != 0:
+        out["error"] = (f"exit {proc.returncode}: "
+                        + proc.stderr.strip().splitlines()[-1][:200]
+                        if proc.stderr.strip() else f"exit {proc.returncode}")
     for line in proc.stderr.splitlines():
         m = re.match(r"(mel|encode|cross-kv|decode|bch5|pp): ([0-9.]+) ms", line)
         if m:

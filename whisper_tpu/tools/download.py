@@ -49,7 +49,16 @@ def download(name: str, dest_dir: str = "models", quiet: bool = False) -> str:
         return dest
     if not quiet:
         print(f"downloading {url} -> {dest}")
-    urllib.request.urlretrieve(url, dest)  # noqa: S310
+    # download to a temp name + atomic rename: an interrupted transfer
+    # must not leave a truncated file the exists-check would trust
+    tmp = dest + ".part"
+    try:
+        urllib.request.urlretrieve(url, tmp)  # noqa: S310
+        os.replace(tmp, dest)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        raise
     return dest
 
 

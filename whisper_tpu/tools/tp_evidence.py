@@ -57,7 +57,9 @@ def _report(compiled) -> dict:
     hlo = compiled.as_text()
     coll = {}
     for c in _COLLECTIVES:
-        n = len(re.findall(rf"\b{c}(?:-start|-done)?\(", hlo))
+        # count the op once: async pairs lower to X-start/X-done — counting
+        # both doubled the figure (r3 review)
+        n = len(re.findall(rf"\b{c}(?:-start)?\(", hlo))
         if n:
             coll[c] = n
     return {

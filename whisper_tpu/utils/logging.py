@@ -52,7 +52,7 @@ def log(level: LogLevel, msg: str) -> None:
         return
     if lvl == LogLevel.NONE:
         return
-    print(msg, file=sys.stderr, end="" if not msg.endswith("\n") else "")
+    print(msg, file=sys.stderr, end="")
 
 
 def log_info(msg: str) -> None:
