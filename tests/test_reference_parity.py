@@ -756,6 +756,57 @@ def test_full_parallel_parity(ref_harness, parity_model, parity_audio,
     assert [t1 for _, t1, _ in ours] == [t1 for _, t1, _ in ref]
 
 
+def test_full_parallel_vad_parity(ref_harness, parity_model, tmp_path):
+    """-p 2 combined with VAD: the reference VADs ONCE before splitting,
+    workers run whisper_full_with_state (no per-chunk VAD,
+    src/whisper.cpp:7748-7760), and the merged segments are still
+    time-remapped because whisper_vad left the mapping on ctx->state and
+    the segment getters translate through it (:7934, :7948). Our
+    full_parallel must reproduce the whole pipeline shape."""
+    from whisper_tpu.models import vad as vad_mod
+
+    vmodel = vad_mod.random_vad_model()
+    vpath = tmp_path / "vadp.bin"
+    vad_mod.write_vad_ggml(str(vpath), vmodel)
+
+    rng = np.random.default_rng(13)
+    t = np.arange(int(6 * 16000), dtype=np.float32) / 16000.0
+    audio = (0.4 * np.sin(2 * np.pi * 300 * t)
+             * ((t < 2.0) | (t > 4.0)).astype(np.float32)
+             + 0.02 * rng.standard_normal(t.shape)).astype(np.float32)
+    pcm = tmp_path / "audio6p.f32"
+    audio.tofile(pcm)
+
+    args = ["full", parity_model, str(pcm),
+            "--max-tokens", str(N_TOK), "--suppress-regex", DECISIVE_REGEX,
+            "--processors", "2", "--vad", str(vpath)]
+    ref = _parse_segments(_run_ref(ref_harness, args, cwd=tmp_path))
+
+    ctx = wt.WhisperContext.new_with_params(
+        parity_model, ContextParams(dtype="float32"))
+    p = FullParams.default(SamplingStrategy.GREEDY)
+    p.language = "en"
+    p.no_timestamps = True
+    p.max_tokens = N_TOK
+    p.suppress_regex = DECISIVE_REGEX
+    p.temperature_inc = 0.0
+    p.entropy_thold = -1e9
+    p.logprob_thold = -1e9
+    p.no_speech_thold = 1e9
+    p.print_progress = False
+    p.greedy.best_of = 1
+    p.vad = True
+    p.vad_model_path = str(vpath)
+    st = ctx.create_state()
+    st.full_parallel(p, audio, 2)
+    ours = [(s.t0, s.t1, [t.id for t in s.tokens]) for s in st.segments]
+
+    ref_tok = [[tk for tk in ids if tk < 50256] for _, _, ids in ref]
+    our_tok = [[tk for tk in ids if tk < 50256] for _, _, ids in ours]
+    assert our_tok == ref_tok
+    assert [t1 for _, t1, _ in ours] == [t1 for _, t1, _ in ref]
+
+
 def test_multiwindow_context_parity(ref_harness, parity_model, tmp_path):
     """Two 30 s windows with context carry-over (no_context=false): the
     window loop (seek advance, :6986-7704), prompt_past accumulation

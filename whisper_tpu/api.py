@@ -535,6 +535,24 @@ class WhisperState:
         if n_processors <= 1:
             return self.full(params, samples)
 
+        # VAD applies ONCE to the whole audio BEFORE the split (reference
+        # :7748-7760: workers run whisper_full_with_state, which has no VAD
+        # step). The reference still remaps output times: whisper_vad left
+        # the mapping table on ctx->state and the segment GETTERS translate
+        # through it (:7934, :7948) — so the merged segments are remapped
+        # at the end here too.
+        import copy
+        params = copy.copy(params)
+        vad_mapping = None
+        if params.vad:
+            from whisper_tpu.models.vad import vad_filter_audio
+            filtered, vad_mapping = vad_filter_audio(self, samples, params)
+            if filtered is None or len(filtered) == 0:
+                self.segments = []
+                return 0
+            samples = filtered
+            params.vad = False
+
         offset_samples = (cfg.SAMPLE_RATE * params.offset_ms) // 1000
         n_per = (len(samples) - offset_samples) // n_processors
 
@@ -568,6 +586,11 @@ class WhisperState:
                 self.segments.append(seg)
                 if params.new_segment_callback:
                     params.new_segment_callback(self.ctx, self, seg)
+        if vad_mapping:
+            from whisper_tpu.models.vad import remap_segment_times
+            self.vad_mapping = vad_mapping
+            for seg in self.segments:
+                remap_segment_times(seg, vad_mapping)
         return 0
 
     def lang_detect(self, offset_ms: int = 0) -> Tuple[int, np.ndarray]:
