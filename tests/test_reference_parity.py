@@ -212,6 +212,31 @@ TOKENIZE_CORPUS = [
 ]
 
 
+def test_tokenizer_fuzz_parity(ref_harness, parity_model, tmp_path):
+    """Property fuzz: 300 random mixed-script strings through both
+    tokenizers. The split is now a byte-exact reproduction of the
+    reference's C-locale std::regex, so every sample must agree — this
+    locks the equivalence beyond the curated corpus."""
+    rng = np.random.default_rng(2024)
+    alphabet = (
+        [chr(c) for c in range(0x20, 0x7f)]              # ASCII
+        + ["é", "ß", "ñ", "Ж", "щ", "你", "好", "語", "ع", "ر",
+           "🚀", "٣", "١", "５", "Ａ", "ǅ", "ʰ", "_", "\t", " ", "  "])
+    lines = []
+    for _ in range(300):
+        n = int(rng.integers(1, 24))
+        s = "".join(alphabet[int(i)] for i in rng.integers(0, len(alphabet), n))
+        lines.append(s.replace("\n", " ").replace("\r", " "))
+    out = _run_ref(ref_harness, ["tokenize", parity_model], cwd=tmp_path,
+                   stdin="\n".join(lines) + "\n")
+    ref_lines = out.splitlines()
+    assert len(ref_lines) == len(lines)
+    ctx = wt.WhisperContext.new_with_params(parity_model)
+    for text, ref_line in zip(lines, ref_lines):
+        ref_ids = [int(x) for x in ref_line.split()] if ref_line else []
+        assert ctx.tokenize(text) == ref_ids, repr(text)
+
+
 def test_tokenizer_parity(ref_harness, parity_model, tmp_path):
     """whisper_tokenize (src/whisper.cpp:3288-3336) vs tokenizer.py on a
     multilingual corpus (VERDICT r1 item 10: the \\p{L}/\\p{N} regex
