@@ -342,6 +342,33 @@ def test_spec_distil_draft_via_hf_converter(tmp_path, jfk_like_audio):
     assert st2.spec_stats is not None
 
 
+def test_spec_multiwindow_with_context_carry(main_ctx, draft_ctx):
+    """35 s of audio = two 30 s windows: the speculative path must carry
+    prompt_past across windows ([PREV]+past prompts) identically to the
+    vanilla loop."""
+    rng = np.random.default_rng(9)
+    audio = (0.1 * rng.standard_normal(16000 * 35)).astype(np.float32)
+    p = FullParams.default()
+    p.no_timestamps = True
+    p.max_tokens = 10
+    p.temperature_inc = 0.0
+    p.no_context = False
+
+    st = main_ctx.create_state()
+    st.full(p, audio)
+    base = [(s.t0, s.t1, [t.id for t in s.tokens]) for s in st.segments]
+    assert len(base) >= 2                      # really multi-window
+
+    main_ctx.attach_draft(draft_ctx)
+    try:
+        st2 = main_ctx.create_state()
+        st2.full(p, audio)
+        got = [(s.t0, s.t1, [t.id for t in s.tokens]) for s in st2.segments]
+    finally:
+        main_ctx.draft = None
+    assert got == base
+
+
 def test_spec_stats_reset_per_run(main_ctx, draft_ctx, jfk_like_audio):
     """spec_stats must reflect ONE run_full, not accumulate across calls
     on a reused state (r3 review finding)."""
