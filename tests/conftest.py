@@ -15,6 +15,14 @@ import jax  # noqa: E402
 # CPU again post-import so tests never touch the (single) real TPU.
 jax.config.update("jax_platforms", "cpu")
 
+import pathlib  # noqa: E402
+import sys  # noqa: E402
+
+# cwd-independent: helpers like test_ggml_io._make_test_tensors import by
+# module name from this directory; pytest usually adds it, but running from
+# outside the repo root should work too
+sys.path.insert(0, str(pathlib.Path(__file__).parent))
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

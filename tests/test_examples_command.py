@@ -40,9 +40,10 @@ def wav_file(tmp_path_factory, ):
 
 
 def _run_example(name, *args):
+    root = __import__("pathlib").Path(__file__).resolve().parents[1]
     return subprocess.run(
-        [sys.executable, f"examples/{name}", *args],
-        capture_output=True, text=True, timeout=400,
+        [sys.executable, str(root / "examples" / name), *args],
+        capture_output=True, text=True, timeout=400, cwd=str(root),
         env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin"})
 
 

@@ -22,11 +22,13 @@ def test_matches_reference(shape):
 
 
 def test_unaligned_seq_padding_masked():
-    """T=1500 pads to the block multiple; padded keys must not leak."""
+    """Unaligned T pads to the block multiple; padded keys must not leak.
+    T=300 spans 2 full q-blocks + a partial one (block_q=128), covering
+    the later-block mask arithmetic the production T=1500 case relies on."""
     rng = np.random.default_rng(1)
-    q = jnp.asarray(rng.standard_normal((1, 2, 150, 64)).astype(np.float32))
-    k = jnp.asarray(rng.standard_normal((1, 2, 150, 64)).astype(np.float32))
-    v = jnp.asarray(rng.standard_normal((1, 2, 150, 64)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((1, 2, 300, 64)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((1, 2, 300, 64)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((1, 2, 300, 64)).astype(np.float32))
     ref = np.asarray(attention(q, k, v))
     got = np.asarray(flash_attention(q, k, v, block_q=128))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)

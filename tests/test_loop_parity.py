@@ -15,6 +15,12 @@ from whisper_tpu.decoding import device_loop, filters, host_loop
 def test_device_matches_host_greedy(jfk_like_audio):
     ctx = wt.WhisperContext.random(
         hp=tiny_test_hparams(), params=ContextParams(dtype="float32"))
+    # sharpen the (tied) token embedding: decisive argmaxes across the
+    # per-token host program vs the fused while_loop program (CLAUDE.md —
+    # never compare raw near-uniform random argmax across program shapes)
+    dec = dict(ctx.params["decoder"])
+    dec["token_embed"] = dec["token_embed"] * 8.0
+    ctx.params = {**ctx.params, "decoder": dec}
     hp = ctx.hparams
     vocab = ctx.vocab
     params = FullParams.default()

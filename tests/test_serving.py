@@ -225,3 +225,24 @@ def test_srt_offset_n(segs):
     buf = io.StringIO()
     write_srt(segs, buf, offset_n=5)
     assert buf.getvalue().splitlines()[0] == "6"
+
+
+def test_server_full_field_surface():
+    """The /inference form fields mirror the reference server
+    (server.cpp:470-598)."""
+    from whisper_tpu.serving.server import _params_from_fields
+    p = _params_from_fields({
+        "best_of": b"3", "max_context": b"64", "audio_ctx": b"512",
+        "entropy_thold": b"2.0", "logprob_thold": b"-0.5",
+        "split_on_word": b"true", "tinydiarize": b"true",
+        "suppress_non_speech": b"true", "no_context": b"false",
+        "vad": b"true", "vad_threshold": b"0.7",
+        "vad_min_speech_duration_ms": b"100",
+    })
+    assert p.greedy.best_of == 3 and p.n_max_text_ctx == 64
+    assert p.audio_ctx == 512
+    assert p.entropy_thold == 2.0 and p.logprob_thold == -0.5
+    assert p.split_on_word and p.tdrz_enable and p.suppress_nst
+    assert p.no_context is False
+    assert p.vad and p.vad_params.threshold == 0.7
+    assert p.vad_params.min_speech_duration_ms == 100

@@ -47,7 +47,6 @@ def test_stft_magnitude_matches_numpy_dft(vad_model):
     padded = np.concatenate([left, chunk, right])
     # frame 0 = padded[0:256]
     want = np.abs(np.fft.rfft(padded[:256], n=256)[:129])
-    probs_fn_input = jnp.asarray(chunk[None])
     stft = vad_mod._conv1d_nwc(
         jnp.asarray(padded)[None, :, None],
         vad_model.params["_model.stft.forward_basis_buffer"],

@@ -199,8 +199,28 @@ def _params_from_fields(fields: Dict[str, bytes]) -> FullParams:
     if wt_ is not None:
         p.thold_pt = wt_     # reference server.cpp copies it into thold_pt
     p.max_len = get("max_len", 0, int)
+    # remaining reference fields (server.cpp:470-598)
+    p.greedy.best_of = get("best_of", p.greedy.best_of, int)
+    p.n_max_text_ctx = get("max_context", p.n_max_text_ctx, int)
+    p.audio_ctx = get("audio_ctx", 0, int)
+    p.entropy_thold = get("entropy_thold", p.entropy_thold, float)
+    p.logprob_thold = get("logprob_thold", p.logprob_thold, float)
+    p.debug_mode = get("debug_mode", "false") in ("true", "1")
+    p.split_on_word = get("split_on_word", "false") in ("true", "1")
+    p.tdrz_enable = get("tinydiarize", "false") in ("true", "1")
+    p.detect_language = get("detect_language", "false") in ("true", "1")
+    p.suppress_nst = (get("suppress_nst", "false") in ("true", "1")
+                      or get("suppress_non_speech", "false") in ("true", "1"))
+    p.no_context = get("no_context", "true") in ("true", "1")
     p.vad = get("vad", "false") in ("true", "1")
     p.vad_model_path = get("vad_model")
+    p.vad_params.threshold = get("vad_threshold", p.vad_params.threshold, float)
+    p.vad_params.min_speech_duration_ms = get(
+        "vad_min_speech_duration_ms", p.vad_params.min_speech_duration_ms, int)
+    p.vad_params.min_silence_duration_ms = get(
+        "vad_min_silence_duration_ms", p.vad_params.min_silence_duration_ms, int)
+    p.vad_params.speech_pad_ms = get(
+        "vad_speech_pad_ms", p.vad_params.speech_pad_ms, int)
     return p
 
 
