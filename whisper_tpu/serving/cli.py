@@ -78,6 +78,9 @@ def build_parser() -> argparse.ArgumentParser:
     a("--draft-shares-encoder", action="store_true",
       help="draft keeps the teacher's frozen encoder (distil models): skip "
            "its encoder pass and reuse the main model's encoder output")
+    a("--jax-cache-dir", default=None,
+      help="persistent XLA compilation cache: compiled programs survive "
+           "process restarts, removing the cold-start compile cost")
     a("--warmup", action="store_true",
       help="pre-compile all programs before the first file (timings then "
            "exclude XLA compile latency)")
@@ -174,8 +177,18 @@ def _dtw_params(args):
     return cp
 
 
+def _enable_jax_cache(path):
+    """Persistent XLA compilation cache (first compile ~20-40 s per shape
+    on TPU; with the cache, restarts reload compiled programs from disk)."""
+    import jax
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.jax_cache_dir:
+        _enable_jax_cache(args.jax_cache_dir)
 
     if not args.file:
         print("error: no input files specified", file=sys.stderr)

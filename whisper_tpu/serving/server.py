@@ -348,7 +348,12 @@ def main(argv=None) -> int:
                     help="draft checkpoint for speculative greedy decoding")
     ap.add_argument("--spec-k", type=int, default=8)
     ap.add_argument("--draft-shares-encoder", action="store_true")
+    ap.add_argument("--jax-cache-dir", default=None,
+                    help="persistent XLA compilation cache directory")
     args = ap.parse_args(argv)
+    if args.jax_cache_dir:
+        from whisper_tpu.serving.cli import _enable_jax_cache
+        _enable_jax_cache(args.jax_cache_dir)
     cparams = None
     if args.draft_model:
         cparams = ContextParams(draft_model=args.draft_model,
