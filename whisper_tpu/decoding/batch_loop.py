@@ -210,7 +210,13 @@ def decode_windows_batch(
             src = (jnp.arange(U)[:, None] * K + src_local).reshape(B)
             tok = tok.reshape(B)
             st = st._replace(
-                kv=st.kv.reorder_if_forked(src),
+                # plain gather, NOT reorder_if_forked: the cond costs a
+                # second cache-sized temp buffer (+0.4 GB x batch at
+                # large-v3), and batch serving is capacity-bound — while
+                # per-row weight reads already amortize B-fold, so fork
+                # traffic matters less here than in the single-utterance
+                # latency loop (PERF.md "memory-for-bandwidth trade")
+                kv=st.kv.reorder(src),
                 tokens=st.tokens[src],
                 tok_p=st.tok_p[src], tok_plog=st.tok_plog[src],
                 tok_pt=st.tok_pt[src], tok_ptsum=st.tok_ptsum[src],
