@@ -11,6 +11,16 @@ import sys
 from typing import List, Optional
 
 
+# xterm-256 codes approximating the reference's red->green confidence ramp
+# (examples/common.h k_colors; exact RGB mapped to the 6x6x6 cube)
+_K_COLORS = [196, 202, 208, 214, 220, 114, 71]
+
+
+def _token_text(ctx, tid: int) -> str:
+    t = ctx.tokenizer.token_str(tid)
+    return t if t is not None else ""
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="whisper-tpu",
@@ -224,7 +234,13 @@ def main(argv: Optional[List[str]] = None) -> int:
             continue
 
         state = ctx.create_state()
-        if state.full(params, samples) != 0:
+        if args.processors > 1:
+            # reference cli.cpp routes -p N through whisper_full_parallel
+            # (:1199); ours batches the chunks on the MXU (api.full_parallel)
+            rc_full = state.full_parallel(params, samples, args.processors)
+        else:
+            rc_full = state.full(params, samples)
+        if rc_full != 0:
             print(f"error: failed to process audio '{fname}'", file=sys.stderr)
             continue
 
@@ -238,8 +254,18 @@ def main(argv: Optional[List[str]] = None) -> int:
                     if pcmf32s is not None:
                         spk = writers.estimate_diarization_speaker(pcmf32s, s.t0, s.t1)
                     trailing = " [SPEAKER_TURN]" if s.speaker_turn_next else ""
+                    if args.print_colors:
+                        # confidence coloring (reference cli.cpp:376-391:
+                        # col = p^3 * len(k_colors), red -> green)
+                        body = "".join(
+                            f"\033[38;5;{_K_COLORS[max(0, min(len(_K_COLORS) - 1, int(t.p ** 3 * len(_K_COLORS))))]}m"
+                            f"{_token_text(ctx, t.id)}\033[0m"
+                            for t in s.tokens
+                            if args.print_special or t.id < ctx.vocab.token_eot)
+                    else:
+                        body = s.text
                     print(f"[{to_timestamp(s.t0)} --> {to_timestamp(s.t1)}]  "
-                          f"{spk}{s.text}{trailing}")
+                          f"{spk}{body}{trailing}")
             if args.no_timestamps:
                 print()
 
