@@ -62,6 +62,7 @@ def build_parser() -> argparse.ArgumentParser:
     a("-np", "--no-prints", action="store_true")
     a("-ps", "--print-special", action="store_true")
     a("-pc", "--print-colors", action="store_true")
+    a("--print-confidence", action="store_true")
     a("-pp", "--print-progress", action="store_true")
     a("-nt", "--no-timestamps", action="store_true")
     a("-l", "--language", default="en")
@@ -260,6 +261,16 @@ def main(argv: Optional[List[str]] = None) -> int:
                         body = "".join(
                             f"\033[38;5;{_K_COLORS[max(0, min(len(_K_COLORS) - 1, int(t.p ** 3 * len(_K_COLORS))))]}m"
                             f"{_token_text(ctx, t.id)}\033[0m"
+                            for t in s.tokens
+                            if args.print_special or t.id < ctx.vocab.token_eot)
+                    elif args.print_confidence:
+                        # reference cli.cpp:392-410: inverse (<0.33),
+                        # underline (<0.66), dim (high confidence)
+                        def _style(p_):
+                            return "\033[7m" if p_ < 0.33 else (
+                                "\033[4m" if p_ < 0.66 else "\033[2m")
+                        body = "".join(
+                            f"{_style(t.p)}{_token_text(ctx, t.id)}\033[0m"
                             for t in s.tokens
                             if args.print_special or t.id < ctx.vocab.token_eot)
                     else:
