@@ -151,8 +151,19 @@ def _parse_segments(out):
 # ---------------------------------------------------------------------------
 
 
-def test_mel_parity(ref_harness, parity_model, parity_audio, tmp_path):
-    """Reference log_mel_spectrogram (src/whisper.cpp:3186-3276) vs ours."""
+@pytest.mark.parametrize("dur_s", [0.37, 2.5, 31.0])
+def test_mel_parity(ref_harness, parity_model, parity_audio, tmp_path, dur_s):
+    """Reference log_mel_spectrogram (src/whisper.cpp:3186-3276) vs ours —
+    at a sub-second length (odd frame counts through the reflect pad), the
+    standard case, and one crossing the 30 s window boundary."""
+    if dur_s == 2.5:
+        audio = parity_audio
+    else:
+        rng = np.random.default_rng(int(dur_s * 100))
+        t = np.arange(int(dur_s * 16000), dtype=np.float32) / 16000.0
+        audio = (0.3 * np.sin(2 * np.pi * 260.0 * t)
+                 + 0.05 * rng.standard_normal(t.shape)).astype(np.float32)
+    parity_audio = audio
     pcm = tmp_path / "audio.f32"
     parity_audio.tofile(pcm)
     # WHISPER_DEBUG_MEL re-enables the reference's dump (see
