@@ -34,6 +34,35 @@ def make_mesh(n_data: int = 1, n_model: int = 1, devices=None) -> Mesh:
     return Mesh(dev, ("data", "model"))
 
 
+def make_cross_host_mesh(n_data: int = 1, n_model: int = 1) -> Mesh:
+    """Mesh whose MODEL axis spans process (host) boundaries, so every
+    tensor-parallel collective crosses the inter-host link.
+
+    make_mesh() reshapes jax.devices() row-major, which on a multi-process
+    run places each TP pair WITHIN one process (devices are ordered by
+    process); good for production (TP rides ICI, DP rides DCN) but useless
+    for proving that TP collectives actually work across processes. Here
+    the grid is transposed: column j = process j, row i = that process's
+    i-th local device. Requires n_model == process_count and
+    n_data == local device count."""
+    import jax
+
+    by_proc: Dict[int, list] = {}
+    for d in sorted(jax.devices(), key=lambda d: (d.process_index, d.id)):
+        by_proc.setdefault(d.process_index, []).append(d)
+    procs = sorted(by_proc)
+    if len(procs) != n_model:
+        raise ValueError(
+            f"need n_model == process_count ({len(procs)}), got {n_model}")
+    if any(len(by_proc[p]) < n_data for p in procs):
+        raise ValueError(f"need {n_data} local devices per process")
+    grid = np.empty((n_data, n_model), dtype=object)
+    for j, p in enumerate(procs):
+        for i in range(n_data):
+            grid[i, j] = by_proc[p][i]
+    return Mesh(grid, ("data", "model"))
+
+
 # linear roles: True = output-feature (head) sharded, False = input sharded
 _BLOCK_ROLES = {
     "attn_q": True, "attn_k": True, "attn_v": True, "attn_out": False,
