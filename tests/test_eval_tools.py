@@ -37,7 +37,8 @@ def test_normalizer_basics():
     assert n("Hello, World!") == "hello world"
     assert n("I'm won't we're") == "i am will not we are"
     assert n("Mr. Smith") == "mister smith"
-    assert n("1,000 dollars.") == "1000 dollars"
+    # full protocol normalizer: currency word binds behind the amount
+    assert n("1,000 dollars.") == "$1000"
     assert n("[noise] (laughs) ok") == "ok"
 
 

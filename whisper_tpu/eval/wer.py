@@ -1,62 +1,20 @@
-"""Word-error-rate computation + basic English text normalizer.
+"""Word-error-rate computation over protocol-normalized text.
 
-reference: tests/librispeech/eval.py (jiwer + OpenAI EnglishTextNormalizer);
-this environment has no jiwer, so WER is a direct Levenshtein over words and
-the normalizer implements the standard steps of OpenAI's
-BasicTextNormalizer/EnglishTextNormalizer that don't need its large
-spelling dictionary: lowercase, bracket/parenthesis removal, punctuation
-stripping, whitespace collapse, common English contraction/number-word
-standardizations.
-"""
+reference: tests/librispeech/eval.py:30-46 (jiwer.wer over
+EnglishTextNormalizer output). The normalizer is the FULL protocol port
+(eval/normalizer.py, validated against the reference's vendored copy by
+tests/test_normalizer.py — VERDICT r3 item 3); this environment has no
+jiwer, so WER is a direct Levenshtein over words with identical semantics
+to jiwer's corpus WER: (S+D+I) / total reference words."""
 
 from __future__ import annotations
 
-import re
-import unicodedata
 from typing import Iterable, Sequence, Tuple
 
-_CONTRACTIONS = {
-    "won't": "will not", "can't": "can not", "let's": "let us",
-    "ain't": "aint", "y'all": "you all", "wanna": "want to",
-    "gotta": "got to", "gonna": "going to", "i'ma": "i am going to",
-    "imma": "i am going to",
-}
-_SUFFIXES = [
-    (r"'s\b", " s"), (r"'re\b", " are"), (r"'ve\b", " have"),
-    (r"'m\b", " am"), (r"'ll\b", " will"), (r"'d\b", " would"),
-    (r"n't\b", " not"),
-]
-_SPELLED = {
-    "mr": "mister", "mrs": "missus", "st": "saint", "dr": "doctor",
-    "prof": "professor", "capt": "captain", "gov": "governor",
-    "ald": "alderman", "gen": "general", "sen": "senator",
-    "rep": "representative", "pres": "president", "rev": "reverend",
-    "hon": "honorable", "asst": "assistant", "assoc": "associate",
-    "lt": "lieutenant", "col": "colonel", "jr": "junior", "sr": "senior",
-    "esq": "esquire",
-}
-
-
-class EnglishTextNormalizer:
-    """Reduced port of OpenAI whisper's normalizer (behavioral subset)."""
-
-    def __call__(self, text: str) -> str:
-        s = text.lower()
-        s = re.sub(r"[<\[][^>\]]*[>\]]", "", s)       # remove <...> [...] tags
-        s = re.sub(r"\(([^)]+?)\)", "", s)            # remove (...)
-        for k, v in _CONTRACTIONS.items():
-            s = s.replace(k, v)
-        for pat, rep in _SUFFIXES:
-            s = re.sub(pat, rep, s)
-        s = re.sub(r"(\d),(\d)", r"\1\2", s)          # 1,000 -> 1000
-        s = re.sub(r"\.([^0-9]|$)", r" \1", s)        # keep decimal points
-        # strip punctuation/symbols/diacritics
-        s = "".join(" " if unicodedata.category(c)[0] in "PS" and c not in "'"
-                    else c for c in unicodedata.normalize("NFKC", s))
-        for k, v in _SPELLED.items():
-            s = re.sub(rf"\b{k}\b", v, s)
-        s = re.sub(r"\s+", " ", s)
-        return s.strip()
+from whisper_tpu.eval.normalizer import (  # noqa: F401  (re-exported API)
+    BasicTextNormalizer,
+    EnglishTextNormalizer,
+)
 
 
 def _edit_ops(ref: Sequence[str], hyp: Sequence[str]) -> Tuple[int, int, int]:
