@@ -48,3 +48,27 @@ def test_flash_attention_ab_check_cpu():
     from whisper_tpu.utils.selfcheck import flash_attention_ab_check
     ok, err = flash_attention_ab_check()
     assert ok is True, err
+
+
+def test_selfcheck_timeout_latch(monkeypatch):
+    """VERDICT r3 weak #7: after one D2H timeout, later fetches return None
+    immediately (at most ONE wedged daemon thread per process)."""
+    import threading
+
+    from whisper_tpu.utils import selfcheck
+
+    monkeypatch.setattr(selfcheck, "_D2H_DEAD", False)
+    hang = threading.Event()
+
+    class _Wedge:
+        def __array__(self, dtype=None, copy=None):
+            hang.wait()          # simulates a hung device->host transfer
+
+    n0 = threading.active_count()
+    assert selfcheck._fetch_with_timeout(_Wedge(), 0.05) is None
+    assert selfcheck._D2H_DEAD is True
+    # latched: no new reader threads spawn, returns immediately
+    for _ in range(5):
+        assert selfcheck._fetch_with_timeout(_Wedge(), 0.05) is None
+    assert threading.active_count() <= n0 + 1
+    hang.set()                   # release the one leaked thread

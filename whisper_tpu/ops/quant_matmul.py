@@ -78,8 +78,18 @@ def quant_matmul(
         B *= s
     xf = x.reshape(B, IN).astype(jnp.bfloat16)
 
-    # pad rows to the bf16 sublane multiple and OUT to the tile
+    # pad rows to the bf16 sublane multiple and OUT to the tile; large row
+    # counts (batched prompt passes: B = n_utt * prompt_len, up to ~1k)
+    # are tiled too — a single (Bp, IN) activation block at IN = 4*d blows
+    # Mosaic's VMEM budget and kills the compile (r4: q5 batch capacity
+    # sweep failed at U>=4 on exactly this), and decode-sized calls
+    # (Bp <= row_tile) keep the old single-row-block schedule
+    row_tile = 256
     Bp = max(16, -(-B // 16) * 16)
+    if Bp > row_tile:
+        Bp = -(-B // row_tile) * row_tile
+    else:
+        row_tile = Bp
     if Bp != B:
         xf = jnp.pad(xf, ((0, Bp - B), (0, 0)))
     out_tile = min(out_tile, OUT)
@@ -91,14 +101,17 @@ def quant_matmul(
             m = jnp.pad(m, ((0, 0), (0, Op - OUT)))
 
     in_specs = [
-        pl.BlockSpec((Bp, IN), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((IN, out_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((IN // qblock, out_tile), lambda i: (0, i),
+        pl.BlockSpec((row_tile, IN), lambda i, j: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((IN, out_tile), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((IN // qblock, out_tile), lambda i, j: (0, j),
                      memory_space=pltpu.VMEM),
     ]
     operands = [xf, q, d]
     if m is not None:
-        in_specs.append(pl.BlockSpec((IN // qblock, out_tile), lambda i: (0, i),
+        in_specs.append(pl.BlockSpec((IN // qblock, out_tile),
+                                     lambda i, j: (0, j),
                                      memory_space=pltpu.VMEM))
         operands.append(m)
         kernel = functools.partial(_qmm_kernel_offset, qblock=qblock)
@@ -108,9 +121,10 @@ def quant_matmul(
     y = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((Bp, Op), jnp.float32),
-        grid=(Op // out_tile,),
+        # out tiles innermost: each row tile's weight stream stays hot
+        grid=(Bp // row_tile, Op // out_tile),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((Bp, out_tile), lambda i: (0, i),
+        out_specs=pl.BlockSpec((row_tile, out_tile), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=2 * Bp * IN * Op,

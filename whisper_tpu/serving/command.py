@@ -104,7 +104,12 @@ def main(argv=None) -> int:
 
     ap = argparse.ArgumentParser(prog="whisper-tpu-command")
     ap.add_argument("-m", "--model", required=True)
-    ap.add_argument("-f", "--file", required=True, help="audio to scan")
+    ap.add_argument("-f", "--file", default=None, help="audio to scan")
+    ap.add_argument("--capture", nargs="?", const=-1, type=int, default=None,
+                    metavar="DEVICE",
+                    help="listen on a live microphone (optional PortAudio"
+                         " device index; needs the sounddevice package)")
+    ap.add_argument("--capture-seconds", type=float, default=None)
     ap.add_argument("-cmd", "--commands", default=None,
                     help="file with one allowed command per line")
     ap.add_argument("--grammar", default=None, help="GBNF grammar file")
@@ -121,18 +126,38 @@ def main(argv=None) -> int:
         with open(args.grammar) as f:
             p.grammar = f.read()
 
-    from whisper_tpu.audio.io import read_wav
+    if (args.file is None) == (args.capture is None):
+        ap.error("exactly one of -f/--file or --capture is required")
 
     ctx = WhisperContext.new_with_params(args.model)
     det = CommandDetector(ctx, commands, p)
-    samples, _ = read_wav(args.file)
-    chunk = SAMPLE_RATE // 2
-    for i in range(0, len(samples), chunk):
-        for cmd, text in det.feed(samples[i : i + chunk]):
+
+    def report(results):
+        for cmd, text in results:
             if cmd:
                 print(f"detected command: {cmd!r}  (heard: {text.strip()!r})")
             else:
                 print(f"no command match  (heard: {text.strip()!r})")
+
+    if args.capture is not None:
+        # live mic (reference command.cpp audio_async bring-up)
+        from whisper_tpu.serving.capture import AudioCapture, run_capture_loop
+        try:
+            cap = AudioCapture(device=None if args.capture < 0 else args.capture)
+        except ImportError:
+            print("live capture needs the `sounddevice` package "
+                  "(pip install sounddevice)", flush=True)
+            return 1
+        run_capture_loop(lambda s: report(det.feed(s)), cap,
+                         seconds=args.capture_seconds)
+        return 0
+
+    from whisper_tpu.audio.io import read_wav
+
+    samples, _ = read_wav(args.file)
+    chunk = SAMPLE_RATE // 2
+    for i in range(0, len(samples), chunk):
+        report(det.feed(samples[i : i + chunk]))
     return 0
 
 

@@ -180,7 +180,14 @@ def main(argv=None) -> int:
 
     ap = argparse.ArgumentParser(prog="whisper-tpu-stream")
     ap.add_argument("-m", "--model", required=True)
-    ap.add_argument("-f", "--file", required=True)
+    ap.add_argument("-f", "--file", default=None,
+                    help="WAV replayed in real-time-sized chunks")
+    ap.add_argument("--capture", nargs="?", const=-1, type=int, default=None,
+                    metavar="DEVICE",
+                    help="capture from a live microphone (optional PortAudio"
+                         " device index; needs the sounddevice package)")
+    ap.add_argument("--capture-seconds", type=float, default=None,
+                    help="stop live capture after this many seconds")
     ap.add_argument("--step", type=int, default=3000)
     ap.add_argument("--length", type=int, default=10000)
     ap.add_argument("--keep", type=int, default=200)
@@ -188,8 +195,8 @@ def main(argv=None) -> int:
     ap.add_argument("--draft-model", default=None,
                     help="speculative-decoding draft checkpoint")
     args = ap.parse_args(argv)
-
-    from whisper_tpu.audio.io import read_wav
+    if (args.file is None) == (args.capture is None):
+        ap.error("exactly one of -f/--file or --capture is required")
 
     cp = None
     if args.draft_model:
@@ -200,10 +207,25 @@ def main(argv=None) -> int:
                       keep_ms=args.keep, language=args.language)
     st = StreamTranscriber(ctx, sp, on_segment=lambda t, c: print(
         ("[commit] " if c else "[...] ") + t, flush=True))
-    samples, _ = read_wav(args.file)
-    chunk = SAMPLE_RATE // 2
-    for i in range(0, len(samples), chunk):
-        st.feed(samples[i : i + chunk])
+
+    if args.capture is not None:
+        # live mic (reference stream.cpp:247-258 audio_async bring-up)
+        from whisper_tpu.serving.capture import AudioCapture, run_capture_loop
+        try:
+            cap = AudioCapture(len_ms=args.length,
+                               device=None if args.capture < 0 else args.capture)
+        except ImportError:
+            print("live capture needs the `sounddevice` package "
+                  "(pip install sounddevice)", flush=True)
+            return 1
+        run_capture_loop(st.feed, cap, seconds=args.capture_seconds,
+                         step_ms=min(args.step, 500))
+    else:
+        from whisper_tpu.audio.io import read_wav
+        samples, _ = read_wav(args.file)
+        chunk = SAMPLE_RATE // 2
+        for i in range(0, len(samples), chunk):
+            st.feed(samples[i : i + chunk])
     st.flush()
     return 0
 

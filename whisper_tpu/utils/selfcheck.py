@@ -11,8 +11,11 @@ same small input, fetch both with a bounded-wait reader, compare.
 
 On relayed TPU stacks where D2H hangs (PERF.md "Relay timing") the fetch
 times out and the check returns None — callers keep the configured
-setting and the daemon reader thread is abandoned (one-time, tiny leak by
-design: there is no way to cancel a wedged transfer).
+setting and the daemon reader thread is abandoned (tiny leak by design:
+there is no way to cancel a wedged transfer). A module-level latch caps
+the leak at ONE thread per process (VERDICT r3 weak #7): after the first
+timeout, every later call returns None immediately without spawning
+another doomed reader — on a relay, D2H does not start working later.
 """
 
 from __future__ import annotations
@@ -22,9 +25,17 @@ from typing import Optional, Tuple
 
 import numpy as np
 
+# set to True after the first fetch timeout; never cleared (see docstring)
+_D2H_DEAD = False
+
 
 def _fetch_with_timeout(x, timeout_s: float):
-    """np.asarray(x) in a daemon thread; None if it doesn't finish."""
+    """np.asarray(x) in a daemon thread; None if it doesn't finish.
+    After one timeout the module-wide latch short-circuits all later
+    fetches (at most one wedged thread per process)."""
+    global _D2H_DEAD
+    if _D2H_DEAD:
+        return None
     box = {}
 
     def reader():
@@ -36,6 +47,8 @@ def _fetch_with_timeout(x, timeout_s: float):
     t = threading.Thread(target=reader, daemon=True)
     t.start()
     t.join(timeout_s)
+    if t.is_alive():
+        _D2H_DEAD = True
     return box.get("v")
 
 
