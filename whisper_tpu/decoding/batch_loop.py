@@ -210,13 +210,11 @@ def decode_windows_batch(
             src = (jnp.arange(U)[:, None] * K + src_local).reshape(B)
             tok = tok.reshape(B)
             st = st._replace(
-                # plain gather, NOT reorder_if_forked: the cond costs a
-                # second cache-sized temp buffer (+0.4 GB x batch at
-                # large-v3), and batch serving is capacity-bound — while
-                # per-row weight reads already amortize B-fold, so fork
-                # traffic matters less here than in the single-utterance
-                # latency loop (PERF.md "memory-for-bandwidth trade")
-                kv=st.kv.reorder(src),
+                # KV fork DEFERRED into the next decode step's per-layer
+                # scan (decoder_forward fork_src): pay-per-fork traffic
+                # AND no cache-sized temp — strictly better than both the
+                # r3 eager gather (full cache r/w every step) and the
+                # whole-cache cond (+0.4 GB x batch of temps at large-v3)
                 tokens=st.tokens[src],
                 tok_p=st.tok_p[src], tok_plog=st.tok_plog[src],
                 tok_pt=st.tok_pt[src], tok_ptsum=st.tok_ptsum[src],
@@ -271,7 +269,8 @@ def decode_windows_batch(
         next_tok = jnp.where(live, tok, st.last_token)
         pos = plen_row + i                        # (B,) vector positions
         lg_next, kv_next = model_mod.decode_logits_only(
-            params, hp, next_tok[:, None], pos, st.kv, cross_k, cross_v, dtype)
+            params, hp, next_tok[:, None], pos, st.kv, cross_k, cross_v, dtype,
+            fork_src=src if strategy == BEAM else None)
 
         return _S(i=i + 1, kv=kv_next, logits=lg_next[:, 0],
                   tokens=tokens, tok_p=tok_p, tok_plog=tok_plog, tok_pt=tok_pt,

@@ -279,10 +279,11 @@ def decode_window(
                 st.last_token, i, beam_size)
 
             # fork: gather every per-decoder datum from the source beam.
-            # The KV gather (the only HBM-heavy one) is skipped at runtime
-            # on no-fork steps — see KVCache.reorder_if_forked.
+            # The KV gather (the only HBM-heavy one) is DEFERRED into the
+            # next decode step's per-layer scan (decoder_forward fork_src):
+            # pay-per-fork like the reference's kv_seq_cp, with no
+            # cache-sized temp buffer (models/whisper.py docstring).
             st = st._replace(
-                kv=st.kv.reorder_if_forked(src),
                 tokens=st.tokens[src],
                 tok_p=st.tok_p[src], tok_plog=st.tok_plog[src],
                 tok_pt=st.tok_pt[src], tok_ptsum=st.tok_ptsum[src],
@@ -338,7 +339,8 @@ def decode_window(
         next_tok = jnp.where(live, tok, st.last_token)
         pos = prompt_len + i
         lg_next, kv_next = model_mod.decode_logits_only(
-            params, hp, next_tok[:, None], pos, st.kv, ck, cv, dtype)
+            params, hp, next_tok[:, None], pos, st.kv, ck, cv, dtype,
+            fork_src=src if strategy == BEAM else None)
 
         return _LoopState(
             i=i + 1, kv=kv_next, logits=lg_next[:, 0],

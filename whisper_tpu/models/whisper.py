@@ -215,7 +215,15 @@ class KVCache(NamedTuple):
         whole cache through HBM every step (large-v3 beam-5: ~0.4 GB read
         + 0.4 GB written per token). The lax.cond makes the copy pay-per-use
         (reference analogue: kv_seq_cp is likewise only called for decoders
-        whose source slot differs, src/whisper.cpp:7272-7285)."""
+        whose source slot differs, src/whisper.cpp:7272-7285).
+
+        NOTE (r4): the decode loops no longer materialize the fork at all —
+        they pass `fork_src` into decoder_forward, which gathers each
+        layer's rows as it reads them (pay-per-fork via a per-layer cond,
+        zero cache-sized temp buffers). Any whole-cache cond here costs a
+        second cache-sized XLA buffer (+2.1 GB at large-v3 beam-5, r3
+        bench; a per-layer fori_loop variant still cost +1.2 GB). This
+        method remains for host-side/manual cache surgery."""
         is_identity = jnp.all(src_idx == jnp.arange(src_idx.shape[0]))
         return jax.lax.cond(
             is_identity, lambda kv: kv, lambda kv: kv.reorder(src_idx), self)
@@ -232,10 +240,19 @@ def decoder_forward(
     dtype=jnp.bfloat16,
     collect_cross_qk: bool = False,
     logit_rows: Optional[jax.Array] = None,
+    fork_src: Optional[jax.Array] = None,
 ) -> Tuple[jax.Array, KVCache, Optional[jax.Array]]:
     """Causal decoder over a chunk of T tokens (T=1 for the sampling loop,
     T=n_prompt for prompt ingestion — the reference's batched decode,
     src/whisper.cpp:2474-2851 + 2864-2993).
+
+    `fork_src` ((B,) int32): beam fork, deferred. Row b's cache content is
+    read AS IF it were row fork_src[b]'s (the reference's kv_seq_cp,
+    src/whisper.cpp:7272-7285, as a gather). Applying it here — per layer,
+    inside the scan, under a runtime identity check — costs nothing on the
+    (steady-state) no-fork step and never materializes a second
+    cache-sized buffer, unlike a standalone gather/cond before the call
+    (r3/r4 bench: +2.1 GB / +1.2 GB of XLA temps at large-v3 beam-5).
 
     With collect_cross_qk, also returns the per-layer softmaxed cross-
     attention weights (L, B, H, T, Ta) for DTW token timestamps
@@ -276,6 +293,9 @@ def decoder_forward(
         pos0_vec[:, None] + jnp.arange(T)[None, :])[:, :, None]  # (B,T,Tmax)
     mask = mask[:, None]                                         # (B,1,T,Tmax)
 
+    if fork_src is not None:
+        fork_needed = jnp.any(fork_src != jnp.arange(B))
+
     def body(x, scanned):
         blk, kv_k_l, kv_v_l, ck, cv = scanned
         # --- self-attention with KV cache
@@ -283,6 +303,14 @@ def decoder_forward(
         q = _split_heads(linear(h, blk["attn_q"]), H)
         k_new = _split_heads(linear(h, blk["attn_k"]), H)
         v_new = _split_heads(linear(h, blk["attn_v"]), H)
+        # deferred beam fork (see docstring): gather this layer's rows from
+        # their fork sources, skipped at runtime on no-fork steps
+        if fork_src is not None:
+            kv_k_l, kv_v_l = lax.cond(
+                fork_needed,
+                lambda kl, vl: (kl[fork_src], vl[fork_src]),
+                lambda kl, vl: (kl, vl),
+                kv_k_l, kv_v_l)
         # write new K/V at positions [pos0, pos0+T)
         if per_row:
             def _upd(cache_b, new_b, p):
@@ -355,6 +383,8 @@ def decoder_forward(
     return logits, KVCache(new_k, new_v), cross_qk
 
 
-def decode_logits_only(params, hp, tokens, pos0, kv, cross_k, cross_v, dtype=jnp.bfloat16):
-    logits, kv, _ = decoder_forward(params, hp, tokens, pos0, kv, cross_k, cross_v, dtype)
+def decode_logits_only(params, hp, tokens, pos0, kv, cross_k, cross_v,
+                       dtype=jnp.bfloat16, fork_src=None):
+    logits, kv, _ = decoder_forward(params, hp, tokens, pos0, kv, cross_k,
+                                    cross_v, dtype, fork_src=fork_src)
     return logits, kv
