@@ -72,6 +72,8 @@ class WhisperContext:
         self.mel_filters = model.mel_filters
         self.n_loaded = model.n_loaded
         self.dtype = jnp.bfloat16 if self.cparams.dtype == "bfloat16" else jnp.float32
+        # int8 self-KV cache (ContextParams.kv_dtype): halves cache HBM
+        self.kv_quant = self.cparams.kv_dtype == "int8"
         # upload weights once; jax caches device placement
         self.params = jax.tree_util.tree_map(jnp.asarray, model.params) if model.params else {}
         # cpu_twin() needs a HOST weight copy (reading weights back from the
@@ -431,7 +433,8 @@ class WhisperState:
 
     # -------------------------------------------------------------- decode
     def new_kv_cache(self, batch: int) -> model_mod.KVCache:
-        return model_mod.KVCache.zeros(self.ctx.hparams, batch, self.ctx.dtype)
+        return model_mod.KVCache.zeros(self.ctx.hparams, batch, self.ctx.dtype,
+                                       quant=self.ctx.kv_quant)
 
     def decode(
         self,

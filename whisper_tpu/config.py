@@ -197,6 +197,11 @@ class ContextParams:
     batch_size: int = 1             # utterance batch for data-parallel full()
     keep_quantized: bool = False    # keep Q4_0/Q5_0/Q8_0 weights as int8
                                     # blocks + scales in HBM (Pallas matmul)
+    kv_dtype: str = ""              # "" = compute dtype; "int8" = quantized
+                                    # self-KV cache (per-row max-abs scales;
+                                    # ~halves per-chip cache HBM -> ~2x
+                                    # serving batch capacity; TPU-native,
+                                    # beyond the reference)
     draft_model: Optional[str] = None  # checkpoint path of a draft model for
                                        # speculative greedy decoding (same
                                        # vocab, e.g. distil-large-v3 against

@@ -264,7 +264,8 @@ def run_full_batch(
                 tids=tids, n_utt=B, n_per_utt=K, strategy=strat,
                 max_tokens=params.max_tokens,
                 single_segment=params.single_segment,
-                no_timestamps=no_timestamps, dtype=ctx.dtype)
+                no_timestamps=no_timestamps, dtype=ctx.dtype,
+                kv_quant=ctx.kv_quant)
             res = jax.tree_util.tree_map(np.asarray, res)
             n_steps = int(res.n_tokens)
             for b in range(B):

@@ -66,7 +66,8 @@ def rows_per_utt(strategy: int, beam_size: int, best_of: int = 1) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("hp", "tids", "n_utt", "n_per_utt", "strategy",
-                     "max_tokens", "single_segment", "no_timestamps", "dtype"),
+                     "max_tokens", "single_segment", "no_timestamps", "dtype",
+                     "kv_quant"),
 )
 def decode_windows_batch(
     params,
@@ -92,6 +93,7 @@ def decode_windows_batch(
     single_segment: bool = False,
     no_timestamps: bool = False,
     dtype=jnp.bfloat16,
+    kv_quant: bool = False,
 ) -> BatchWindowResult:
     V = tids.n_vocab
     U = n_utt
@@ -107,7 +109,7 @@ def decode_windows_batch(
     # rows (the reference decodes the prompt on decoder 0 and kv_seq_cp's
     # to the others, :7115-7154). KV created inside the jit — pure scratch,
     # no H2D argument (see device_loop.decode_window)
-    kv_u = KVCache.zeros(hp, U, dtype)
+    kv_u = KVCache.zeros(hp, U, dtype, quant=kv_quant)
     logits_p, kv_u, _ = model_mod.decoder_forward(
         params, hp, prompts, jnp.zeros(U, jnp.int32), kv_u, cross_k, cross_v,
         dtype, logit_rows=prompt_len - 1)
@@ -117,12 +119,16 @@ def decode_windows_batch(
         last_row.astype(jnp.float32), axis=-1)[:, tids.nosp]        # (U,)
 
     L = kv_u.k.shape[0]
-    kv = KVCache(
-        jnp.broadcast_to(kv_u.k[:, :, None], (L, U, K) + kv_u.k.shape[2:])
-           .reshape((L, B) + kv_u.k.shape[2:]),
-        jnp.broadcast_to(kv_u.v[:, :, None], (L, U, K) + kv_u.v.shape[2:])
-           .reshape((L, B) + kv_u.v.shape[2:]),
-    )
+
+    def _fold(a):
+        """(L, U, ...) -> (L, U*K, ...): each utterance's prompt KV copied
+        to its K decoder rows."""
+        if a is None:
+            return None
+        return (jnp.broadcast_to(a[:, :, None], (L, U, K) + a.shape[2:])
+                  .reshape((L, B) + a.shape[2:]))
+
+    kv = KVCache(*(_fold(a) for a in kv_u))
     logits0 = to_rows(last_row.astype(jnp.float32))                 # (B, V)
 
     plen_row = to_rows(prompt_len)

@@ -154,7 +154,7 @@ class _LoopState(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("hp", "tids", "n_dec", "strategy", "beam_size", "max_tokens",
-                     "single_segment", "no_timestamps", "dtype"),
+                     "single_segment", "no_timestamps", "dtype", "kv_quant"),
 )
 def decode_window(
     params,
@@ -179,6 +179,7 @@ def decode_window(
     single_segment: bool = False,
     no_timestamps: bool = False,
     dtype=jnp.bfloat16,
+    kv_quant: bool = False,
 ) -> WindowResult:
     V = tids.n_vocab
     B = n_dec
@@ -190,7 +191,7 @@ def decode_window(
     # INSIDE the jit: it's pure scratch for this window, so as a temp
     # buffer XLA places it without an H2D argument transfer or donation
     # (large-v3 beam-5: ~0.4 GB that never leaves the chip)
-    kv1 = KVCache.zeros(hp, 1, dtype)
+    kv1 = KVCache.zeros(hp, 1, dtype, quant=kv_quant)
     logits_p, kv1, _ = model_mod.decoder_forward(
         params, hp, prompt[None, :], jnp.int32(0), kv1, cross_k, cross_v, dtype,
         logit_rows=prompt_len - 1)
@@ -199,10 +200,11 @@ def decode_window(
     # no_speech prob BEFORE any filtering (reference :7124-7134)
     no_speech_prob = jax.nn.softmax(last_row[0].astype(jnp.float32))[tids.nosp]
 
-    kv = KVCache(
-        jnp.broadcast_to(kv1.k, (kv1.k.shape[0], B) + kv1.k.shape[2:]),
-        jnp.broadcast_to(kv1.v, (kv1.v.shape[0], B) + kv1.v.shape[2:]),
-    )
+    def _bcast(a):
+        return (None if a is None else
+                jnp.broadcast_to(a, (a.shape[0], B) + a.shape[2:]))
+
+    kv = KVCache(*(_bcast(a) for a in kv1))
     logits0 = jnp.broadcast_to(last_row, (B, V)).astype(jnp.float32)
 
     # encoder K/V stays at batch 1 — decoder_forward contracts all B

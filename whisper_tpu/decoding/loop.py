@@ -294,7 +294,8 @@ def run_full(state: WhisperState, params: FullParams, samples: Optional[np.ndarr
                     tids=tids, k_spec=ctx.cparams.spec_k,
                     max_tokens=params.max_tokens,
                     single_segment=params.single_segment,
-                    no_timestamps=no_timestamps, dtype=ctx.dtype)
+                    no_timestamps=no_timestamps, dtype=ctx.dtype,
+                    kv_quant=ctx.kv_quant)
             else:
                 result = device_loop.decode_window(
                     ctx.params, hp, consts,
@@ -313,6 +314,7 @@ def run_full(state: WhisperState, params: FullParams, samples: Optional[np.ndarr
                     single_segment=params.single_segment,
                     no_timestamps=no_timestamps,
                     dtype=ctx.dtype,
+                    kv_quant=ctx.kv_quant,
                 )
             result = jax.tree_util.tree_map(np.asarray, result)
             n_steps = int(result.n_tokens)

@@ -116,7 +116,7 @@ class _SpecState(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("hp", "hp_draft", "tids", "k_spec", "max_tokens",
-                     "single_segment", "no_timestamps", "dtype"),
+                     "single_segment", "no_timestamps", "dtype", "kv_quant"),
 )
 def decode_window_speculative(
     params,                  # main model weights
@@ -137,6 +137,7 @@ def decode_window_speculative(
     single_segment: bool = False,
     no_timestamps: bool = False,
     dtype=jnp.bfloat16,
+    kv_quant: bool = False,
 ) -> WindowResult:
     V = tids.n_vocab
     k = max(1, k_spec)
@@ -146,14 +147,14 @@ def decode_window_speculative(
     t0 = jnp.float32(0.0)                        # greedy temperature
 
     # ---- prompt ingestion, both models (reference :7115-7154) -----------
-    kv = KVCache.zeros(hp, 1, dtype)
+    kv = KVCache.zeros(hp, 1, dtype, quant=kv_quant)
     logits_p, kv, _ = model_mod.decoder_forward(
         params, hp, prompt[None, :], jnp.int32(0), kv, cross_k, cross_v,
         dtype, logit_rows=prompt_len - 1)
     last_row = logits_p[0, 0].astype(jnp.float32)            # (V,)
     no_speech_prob = jax.nn.softmax(last_row)[tids.nosp]
 
-    dkv = KVCache.zeros(hp_draft, 1, dtype)
+    dkv = KVCache.zeros(hp_draft, 1, dtype, quant=kv_quant)
     _, dkv, _ = model_mod.decoder_forward(
         params_draft, hp_draft, prompt[None, :], jnp.int32(0), dkv,
         draft_ck, draft_cv, dtype, logit_rows=jnp.int32(0))

@@ -88,6 +88,41 @@ def attention(
                       preferred_element_type=jnp.float32).astype(v.dtype)
 
 
+def quantize_kv_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(.., T, Dh) bf16 -> int8 codes + per-(.., T) f32 max-abs scales."""
+    s = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1) / 127.0
+    s = jnp.maximum(s, 1e-10)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / s[..., None]),
+                 -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def attention_quant(
+    q: jax.Array,            # (B, H, Tq, Dh) bf16
+    kq: jax.Array,           # (B, H, Tk, Dh) int8
+    ks: jax.Array,           # (B, H, Tk) f32
+    vq: jax.Array,           # (B, H, Tk, Dh) int8
+    vs: jax.Array,           # (B, H, Tk) f32
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """SDPA over the int8 KV cache. Per-position scales factor OUT of both
+    contractions — scores[.., s] = ks[s] * (q . kq[s]) and
+    out = (probs * vs) @ vq — so the int8 codes feed the MXU directly and
+    the dequantized cache is never materialized."""
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, kq.astype(q.dtype),
+                        preferred_element_type=jnp.float32)
+    logits = logits * scale * ks[:, :, None, :]
+    if mask is not None:
+        logits = jnp.where(mask, logits, -jnp.inf)
+    probs = jax.nn.softmax(logits, axis=-1)
+    if mask is not None:
+        probs = jnp.where(jnp.isnan(probs), 0.0, probs)
+    pw = (probs * vs[:, :, None, :]).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", pw, vq.astype(q.dtype),
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Encoder
 # ---------------------------------------------------------------------------
@@ -186,14 +221,28 @@ class KVCache(NamedTuple):
     (whisper_kv_cache, src/whisper.cpp:998-1187): decode batch entry b IS
     sequence b, so slot management reduces to a position counter; beam
     forking (kv_seq_cp, :1121-1167) becomes a gather over the batch axis
-    (see decoding/beam.py)."""
+    (see decoding/beam.py).
+
+    Optional int8 quantization (TPU-native, beyond the reference): with
+    `ks`/`vs` set, k/v hold int8 codes and ks/vs the per-(layer, row,
+    head, position) f32 scales (max-abs over the Dh lane / 127). The KV
+    cache dominates per-chip HBM at serving batch sizes (12.5 GiB of a
+    16 GiB chip at large-v3 beam-5 x 16 utterances in bf16), so halving
+    it nearly doubles utterances/chip; attention dequantizes by factoring
+    the scale out of the dot products (attention_quant)."""
 
     k: jax.Array
     v: jax.Array
+    ks: Optional[jax.Array] = None   # (L, B, H, Tmax) f32, int8 mode only
+    vs: Optional[jax.Array] = None
+
+    @property
+    def quantized(self) -> bool:
+        return self.ks is not None
 
     @classmethod
     def zeros(cls, hp: WhisperHParams, batch: int, dtype=jnp.bfloat16,
-              size: int = 0) -> "KVCache":
+              size: int = 0, quant: bool = False) -> "KVCache":
         # pad to 256 like the reference (GGML_PAD(n_text_ctx, 256),
         # src/whisper.cpp:3403-3438): prompt (≤ n_text_ctx/2 + init) plus
         # n_text_ctx/2-4 sampled tokens can exceed n_text_ctx slots
@@ -201,11 +250,17 @@ class KVCache(NamedTuple):
             size = -(-hp.n_text_ctx // 256) * 256
         shape = (hp.n_text_layer, batch, hp.n_text_head, size,
                  hp.n_text_state // hp.n_text_head)
+        if quant:
+            return cls(jnp.zeros(shape, jnp.int8), jnp.zeros(shape, jnp.int8),
+                       jnp.zeros(shape[:-1], jnp.float32),
+                       jnp.zeros(shape[:-1], jnp.float32))
         return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
     def reorder(self, src_idx: jax.Array) -> "KVCache":
         """Beam fork: new cache[b] = old cache[src_idx[b]]."""
-        return KVCache(self.k[:, src_idx], self.v[:, src_idx])
+        return KVCache(self.k[:, src_idx], self.v[:, src_idx],
+                       None if self.ks is None else self.ks[:, src_idx],
+                       None if self.vs is None else self.vs[:, src_idx])
 
     def reorder_if_forked(self, src_idx: jax.Array) -> "KVCache":
         """`reorder`, skipping the gather at runtime when src_idx is the
@@ -295,9 +350,10 @@ def decoder_forward(
 
     if fork_src is not None:
         fork_needed = jnp.any(fork_src != jnp.arange(B))
+    quant = kv.quantized
 
     def body(x, scanned):
-        blk, kv_k_l, kv_v_l, ck, cv = scanned
+        blk, kvs, ck, cv = scanned
         # --- self-attention with KV cache
         h = layer_norm(x, blk["attn_ln"], hp.eps)
         q = _split_heads(linear(h, blk["attn_q"]), H)
@@ -306,21 +362,44 @@ def decoder_forward(
         # deferred beam fork (see docstring): gather this layer's rows from
         # their fork sources, skipped at runtime on no-fork steps
         if fork_src is not None:
-            kv_k_l, kv_v_l = lax.cond(
+            kvs = lax.cond(
                 fork_needed,
-                lambda kl, vl: (kl[fork_src], vl[fork_src]),
-                lambda kl, vl: (kl, vl),
-                kv_k_l, kv_v_l)
+                lambda t: tuple(a[fork_src] for a in t),
+                lambda t: t, kvs)
         # write new K/V at positions [pos0, pos0+T)
-        if per_row:
-            def _upd(cache_b, new_b, p):
-                return lax.dynamic_update_slice(cache_b, new_b, (0, p, 0))
-            kv_k_l = jax.vmap(_upd)(kv_k_l, k_new, pos0_vec)
-            kv_v_l = jax.vmap(_upd)(kv_v_l, v_new, pos0_vec)
+        if quant:
+            kv_k_l, kv_v_l, ks_l, vs_l = kvs
+            kq_new, ksc_new = quantize_kv_rows(k_new)
+            vq_new, vsc_new = quantize_kv_rows(v_new)
+            if per_row:
+                def _upd(cache_b, new_b, p):
+                    return lax.dynamic_update_slice(cache_b, new_b, (0, p, 0))
+
+                def _upds(cache_b, new_b, p):
+                    return lax.dynamic_update_slice(cache_b, new_b, (0, p))
+                kv_k_l = jax.vmap(_upd)(kv_k_l, kq_new, pos0_vec)
+                kv_v_l = jax.vmap(_upd)(kv_v_l, vq_new, pos0_vec)
+                ks_l = jax.vmap(_upds)(ks_l, ksc_new, pos0_vec)
+                vs_l = jax.vmap(_upds)(vs_l, vsc_new, pos0_vec)
+            else:
+                kv_k_l = lax.dynamic_update_slice(kv_k_l, kq_new, (0, 0, pos0, 0))
+                kv_v_l = lax.dynamic_update_slice(kv_v_l, vq_new, (0, 0, pos0, 0))
+                ks_l = lax.dynamic_update_slice(ks_l, ksc_new, (0, 0, pos0))
+                vs_l = lax.dynamic_update_slice(vs_l, vsc_new, (0, 0, pos0))
+            kvs = (kv_k_l, kv_v_l, ks_l, vs_l)
+            o = attention_quant(q, kv_k_l, ks_l, kv_v_l, vs_l, mask)
         else:
-            kv_k_l = lax.dynamic_update_slice(kv_k_l, k_new, (0, 0, pos0, 0))
-            kv_v_l = lax.dynamic_update_slice(kv_v_l, v_new, (0, 0, pos0, 0))
-        o = attention(q, kv_k_l, kv_v_l, mask)
+            kv_k_l, kv_v_l = kvs
+            if per_row:
+                def _upd(cache_b, new_b, p):
+                    return lax.dynamic_update_slice(cache_b, new_b, (0, p, 0))
+                kv_k_l = jax.vmap(_upd)(kv_k_l, k_new, pos0_vec)
+                kv_v_l = jax.vmap(_upd)(kv_v_l, v_new, pos0_vec)
+            else:
+                kv_k_l = lax.dynamic_update_slice(kv_k_l, k_new, (0, 0, pos0, 0))
+                kv_v_l = lax.dynamic_update_slice(kv_v_l, v_new, (0, 0, pos0, 0))
+            kvs = (kv_k_l, kv_v_l)
+            o = attention(q, kv_k_l, kv_v_l, mask)
         x = x + linear(_merge_heads(o), blk["attn_out"])
 
         # --- cross-attention (precomputed K/V)
@@ -364,12 +443,14 @@ def decoder_forward(
         h = jax.nn.gelu(linear(h, blk["mlp_0"]).astype(jnp.float32),
                         approximate=False).astype(x.dtype)
         x = x + linear(h, blk["mlp_2"])
-        extras = (kv_k_l, kv_v_l) + ((cross_probs,) if collect_cross_qk else ())
+        extras = (kvs,) + ((cross_probs,) if collect_cross_qk else ())
         return x, extras
 
-    x, extras = lax.scan(body, x, (dec["blocks"], kv.k, kv.v, cross_k, cross_v))
-    new_k, new_v = extras[0], extras[1]
-    cross_qk = extras[2] if collect_cross_qk else None
+    kvs_in = (kv.k, kv.v, kv.ks, kv.vs) if quant else (kv.k, kv.v)
+    x, extras = lax.scan(body, x, (dec["blocks"], kvs_in, cross_k, cross_v))
+    kvs_out = extras[0]
+    cross_qk = extras[1] if collect_cross_qk else None
+    new_kv = KVCache(*kvs_out)
 
     x = layer_norm(x, dec["ln"], hp.eps)
     if logit_rows is not None:
@@ -380,7 +461,7 @@ def decoder_forward(
             x, jnp.broadcast_to(lr[:, None, None], (B, 1, x.shape[-1])), axis=1)
     logits = jnp.dot(x, dec["token_embed"].astype(x.dtype).T,
                      preferred_element_type=jnp.float32)
-    return logits, KVCache(new_k, new_v), cross_qk
+    return logits, new_kv, cross_qk
 
 
 def decode_logits_only(params, hp, tokens, pos0, kv, cross_k, cross_v,

@@ -89,6 +89,9 @@ def build_parser() -> argparse.ArgumentParser:
     a("--draft-shares-encoder", action="store_true",
       help="draft keeps the teacher's frozen encoder (distil models): skip "
            "its encoder pass and reuse the main model's encoder output")
+    a("--kv-int8", action="store_true",
+      help="int8 self-KV cache with per-row scales: halves cache HBM, "
+           "~doubles utterances/chip at batch (TPU-native; PERF.md)")
     a("--jax-cache-dir", default=None,
       help="persistent XLA compilation cache: compiled programs survive "
            "process restarts, removing the cold-start compile cost")
@@ -173,6 +176,8 @@ def _dtw_params(args):
     if args.no_gpu:
         cp.use_gpu = False
     cp.flash_attn = args.flash_attn or cp.flash_attn
+    if getattr(args, "kv_int8", False):
+        cp.kv_dtype = "int8"          # halve KV-cache HBM (TPU-native)
     if getattr(args, "draft_model", None):
         cp.draft_model = args.draft_model
         cp.spec_k = args.spec_k

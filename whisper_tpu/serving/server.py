@@ -348,6 +348,8 @@ def main(argv=None) -> int:
                     help="draft checkpoint for speculative greedy decoding")
     ap.add_argument("--spec-k", type=int, default=8)
     ap.add_argument("--draft-shares-encoder", action="store_true")
+    ap.add_argument("--kv-int8", action="store_true",
+                    help="int8 self-KV cache (halves cache HBM; TPU-native)")
     ap.add_argument("--jax-cache-dir", default=None,
                     help="persistent XLA compilation cache directory")
     args = ap.parse_args(argv)
@@ -355,10 +357,11 @@ def main(argv=None) -> int:
         from whisper_tpu.serving.cli import _enable_jax_cache
         _enable_jax_cache(args.jax_cache_dir)
     cparams = None
-    if args.draft_model:
+    if args.draft_model or args.kv_int8:
         cparams = ContextParams(draft_model=args.draft_model,
                                 spec_k=args.spec_k,
-                                draft_shares_encoder=args.draft_shares_encoder)
+                                draft_shares_encoder=args.draft_shares_encoder,
+                                kv_dtype="int8" if args.kv_int8 else "")
     httpd = serve(args.model, args.host, args.port,
                   batch_window_ms=args.batch_window_ms,
                   max_batch=args.max_batch, cparams=cparams)
