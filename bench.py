@@ -437,14 +437,15 @@ def batch_capacity_check() -> dict:
     T, V, SK_T = hp.n_audio_ctx, hp.n_vocab, 512
     w_bf16 = (16 * L * d * d + V * d) * 2
     w_q5 = (16 * L * d * d + V * d) * 1.125     # int8 + f32/32 scales
-    ck_b = 2 * L * T * d * 2                    # cross-KV bytes per utt
+    ck_bf16 = 2 * L * T * d * 2                 # cross-KV bytes per utt
     sk_bf16 = 2 * L * SK_T * d * 2              # self-KV bytes per row
-    # int8 cache: 1 byte/elem + 4-byte scale per Dh lane (models/whisper.py)
+    # int8 caches: 1 byte/elem + 4-byte scale per Dh lane (models/whisper.py)
+    ck_int8 = 2 * L * T * (d + 4 * H)
     sk_int8 = 2 * L * SK_T * (d + 4 * H)
     enc_flops = hp.n_audio_layer * (24 * T * d * d + 4 * T * T * d)
     enc_exp_s = enc_flops / (0.5 * V5E_PEAK_TFLOPS * 1e12)
 
-    def rtf_chip(U, w_b, sk_b):
+    def rtf_chip(U, w_b, sk_b, ck_b):
         step_s = (w_b + U * ck_b + U * K * sk_b) / (0.7 * V5E_HBM_GBPS * 1e9)
         return U * 30.0 / (U * enc_exp_s + N_TOK * step_s)
 
@@ -461,33 +462,38 @@ def batch_capacity_check() -> dict:
 
     out = {"ok": True, "rows_per_utt": K, "sweep": {}}
     max_b = {"bf16": 0, "q5": 0, "q5_kv8": 0}
-    for U in (4, 8, 12, 16):
+    for U in (4, 8, 10, 12, 16):
         ck = jax.ShapeDtypeStruct((L, U, H, T, dh), jnp.bfloat16)
-        args = (
-            hp, consts, ck, ck,
-            jax.ShapeDtypeStruct((U, prompt_max), i32),
-            jax.ShapeDtypeStruct((U,), i32),
-            jax.ShapeDtypeStruct((), f32),
-            jax.ShapeDtypeStruct((U,), i32),
-            jax.ShapeDtypeStruct((U,), i32),
-            jax.ShapeDtypeStruct((U,), jnp.bool_),
-            jax.ShapeDtypeStruct((2,), jnp.uint32),
-        )
-        for label, p, w_b, sk_b, kvq in (
-                ("bf16", abs_params, w_bf16, sk_bf16, False),
-                ("q5", q_params, w_q5, sk_bf16, False),
-                ("q5_kv8", q_params, w_q5, sk_int8, True)):
+        # int8 cross-KV: (codes, scales) tuples (cross_attention_kv quant)
+        ck8 = (jax.ShapeDtypeStruct((L, U, H, T, dh), jnp.int8),
+               jax.ShapeDtypeStruct((L, U, H, T), jnp.float32))
+
+        def args_with(c):
+            return (
+                hp, consts, c, c,
+                jax.ShapeDtypeStruct((U, prompt_max), i32),
+                jax.ShapeDtypeStruct((U,), i32),
+                jax.ShapeDtypeStruct((), f32),
+                jax.ShapeDtypeStruct((U,), i32),
+                jax.ShapeDtypeStruct((U,), i32),
+                jax.ShapeDtypeStruct((U,), jnp.bool_),
+                jax.ShapeDtypeStruct((2,), jnp.uint32),
+            )
+        for label, p, w_b, sk_b, ck_b, kvq in (
+                ("bf16", abs_params, w_bf16, sk_bf16, ck_bf16, False),
+                ("q5", q_params, w_q5, sk_bf16, ck_bf16, False),
+                ("q5_kv8", q_params, w_q5, sk_int8, ck_int8, True)):
             key = f"u{U}_{label}"
             try:
                 t0 = _t.perf_counter()
                 c = batch_loop.decode_windows_batch.lower(
-                    p, *args, tids=tids, n_utt=U, n_per_utt=K,
-                    strategy=device_loop.BEAM, dtype=jnp.bfloat16,
-                    kv_quant=kvq).compile()
+                    p, *args_with(ck8 if kvq else ck), tids=tids, n_utt=U,
+                    n_per_utt=K, strategy=device_loop.BEAM,
+                    dtype=jnp.bfloat16, kv_quant=kvq).compile()
                 row = {"compile_s": round(_t.perf_counter() - t0, 1),
                        **mem_of(c)}
                 row["fits_16gb"] = row["hbm_peak_gb"] <= HBM_GB
-                row["rtf_chip_analytic"] = round(rtf_chip(U, w_b, sk_b), 1)
+                row["rtf_chip_analytic"] = round(rtf_chip(U, w_b, sk_b, ck_b), 1)
                 if row["fits_16gb"]:
                     max_b[label] = max(max_b[label], U)
                 out["sweep"][key] = row
@@ -514,12 +520,12 @@ def batch_capacity_check() -> dict:
         out["encoder_b16"] = {"error": str(e)[:200]}
 
     out["max_utt_16gb"] = max_b
-    for label, w_b, sk_b in (("bf16", w_bf16, sk_bf16),
-                             ("q5", w_q5, sk_bf16),
-                             ("q5_kv8", w_q5, sk_int8)):
+    for label, w_b, sk_b, ck_b in (("bf16", w_bf16, sk_bf16, ck_bf16),
+                                   ("q5", w_q5, sk_bf16, ck_bf16),
+                                   ("q5_kv8", w_q5, sk_int8, ck_int8)):
         if max_b[label]:
             out[f"rtf_chip_at_max_{label}"] = round(
-                rtf_chip(max_b[label], w_b, sk_b), 1)
+                rtf_chip(max_b[label], w_b, sk_b, ck_b), 1)
     return out
 
 

@@ -151,3 +151,39 @@ def test_device_host_parity_with_quant_cache(audio):
     n_h, n_d = int(host.n_tokens), int(dev.n_tokens)
     assert n_d == n_h and n_d > 0
     np.testing.assert_array_equal(dev.tokens[0, :n_d], host.tokens[0, :n_h])
+
+
+def test_dtw_timestamps_with_quant_cache(audio):
+    """DTW token timestamps traverse the quantized CROSS-KV path
+    (decoder_forward collect_cross_qk over (codes, scales) tuples)."""
+    from whisper_tpu.config import AlignmentHeadsPreset, DtwParams
+
+    cp = ContextParams(
+        dtype="float32", kv_dtype="int8",
+        dtw_token_timestamps=True,
+        dtw=DtwParams(mode=AlignmentHeadsPreset.CUSTOM,
+                      custom_aheads=((0, 0), (1, 1))),
+    )
+    ctx = wt.WhisperContext.random(hp=tiny_test_hparams(), params=cp, seed=11)
+    assert ctx.kv_quant
+    st = ctx.create_state()
+    assert isinstance(st, object)
+    p = FullParams.default()
+    p.print_progress = False
+    st.full(p, audio)
+    assert st.full_n_segments() >= 1
+    stamped = [td.t_dtw for i in range(st.full_n_segments())
+               for td in st.full_get_segment(i).tokens
+               if td.id < ctx.token_eot() and td.t_dtw >= 0]
+    assert stamped and all(b >= a for a, b in zip(stamped, stamped[1:]))
+
+
+def test_cross_kv_is_quantized_tuples(audio):
+    ctx = _ctx("int8")
+    st = ctx.create_state()
+    st.pcm_to_mel(audio)
+    st.encode(0)
+    assert isinstance(st.cross_k, tuple) and isinstance(st.cross_v, tuple)
+    codes, scales = st.cross_k
+    assert codes.dtype == np.int8 and scales.dtype == np.float32
+    assert codes.shape[:-1] == scales.shape

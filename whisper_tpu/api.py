@@ -393,8 +393,9 @@ class WhisperState:
         use_flash = ctx.cparams.flash_attn and ctx.exec_backend == "tpu"
         embed = _encode_jit(ctx.params, hp, mel_win, ctx.dtype, use_flash)
         self.audio_embed = embed
-        self.cross_k, self.cross_v = _cross_kv_jit(ctx.params, hp, embed)
-        self.cross_k.block_until_ready()
+        self.cross_k, self.cross_v = _cross_kv_jit(
+            ctx.params, hp, embed, ctx.kv_quant)
+        jax.block_until_ready(self.cross_k)
         self.timings.add("encode", time.perf_counter() - t0)
         return embed
 
@@ -414,7 +415,8 @@ class WhisperState:
                 raise RuntimeError("encode() must run before encode_draft()")
             t0 = time.perf_counter()
             self.draft_cross_k, self.draft_cross_v = _cross_kv_jit(
-                draft.params, draft.hparams, self.audio_embed)
+                draft.params, draft.hparams, self.audio_embed,
+                self.ctx.kv_quant)
             self.timings.add("encode", time.perf_counter() - t0)
             return
         if self.draft_mel is None:
@@ -428,7 +430,8 @@ class WhisperState:
         win = jax.lax.dynamic_slice(padded, (0, offset), (mel.shape[0], want))[None]
         use_flash = draft.cparams.flash_attn and draft.exec_backend == "tpu"
         embed = _encode_jit(draft.params, hp, win, draft.dtype, use_flash)
-        self.draft_cross_k, self.draft_cross_v = _cross_kv_jit(draft.params, hp, embed)
+        self.draft_cross_k, self.draft_cross_v = _cross_kv_jit(
+            draft.params, hp, embed, self.ctx.kv_quant)
         self.timings.add("encode", time.perf_counter() - t0)
 
     # -------------------------------------------------------------- decode
@@ -453,9 +456,10 @@ class WhisperState:
         ck, cv = self.cross_k, self.cross_v
         # batch-1 encoder K/V is shared across the decode batch inside
         # decoder_forward (no broadcast materialization)
-        if ck.shape[1] not in (1, toks.shape[0]):
+        ck_b = (ck[0] if isinstance(ck, tuple) else ck).shape[1]
+        if ck_b not in (1, toks.shape[0]):
             raise ValueError(
-                f"cross-KV batch {ck.shape[1]} incompatible with decode "
+                f"cross-KV batch {ck_b} incompatible with decode "
                 f"batch {toks.shape[0]}")
         t0 = time.perf_counter()
         logits, kv = _decode_jit(
@@ -636,9 +640,9 @@ def _encode_jit(params, hp, mel_win, dtype, use_flash=False):
     return model_mod.encoder_forward(params, hp, mel_win, dtype, attn_fn)
 
 
-@functools.partial(jax.jit, static_argnames=("hp",))
-def _cross_kv_jit(params, hp, embed):
-    return model_mod.cross_attention_kv(params, hp, embed)
+@functools.partial(jax.jit, static_argnames=("hp", "quant"))
+def _cross_kv_jit(params, hp, embed, quant=False):
+    return model_mod.cross_attention_kv(params, hp, embed, quant=quant)
 
 
 @functools.partial(jax.jit, static_argnames=("hp", "dtype"), donate_argnames=("kv",))

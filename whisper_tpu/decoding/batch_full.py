@@ -190,8 +190,8 @@ def run_full_batch(
         from whisper_tpu.api import _encode_jit, _cross_kv_jit
         embed = _encode_jit(ctx.params, hp, mel_batch, ctx.dtype,
                             ctx.cparams.flash_attn and ctx.exec_backend == "tpu")
-        ck, cv = _cross_kv_jit(ctx.params, hp, embed)
-        ck.block_until_ready()
+        ck, cv = _cross_kv_jit(ctx.params, hp, embed, ctx.kv_quant)
+        jax.block_until_ready(ck)
         # NOTE: batched phases are ONE device program covering all active
         # rows; per-state "timings" get the wall clock divided evenly. Read
         # them as amortized batch cost, not per-utterance truth — the

@@ -193,16 +193,23 @@ def cross_attention_kv(
     params: Params,
     hp: WhisperHParams,
     audio_embed: jax.Array,    # (B, Ta, D)
-) -> Tuple[jax.Array, jax.Array]:
+    quant: bool = False,
+) -> Tuple[Any, Any]:
     """Precompute cross-attention K/V for every decoder layer from the
     encoder output (reference whisper_build_graph_cross,
     src/whisper.cpp:2290-2363; done once per 30 s window).
-    Returns (L, B, H, Ta, Dh) each."""
+    Returns (L, B, H, Ta, Dh) each — or, with quant=True, each side as an
+    (int8 codes, f32 (L, B, H, Ta) scales) tuple. The cross-KV is the
+    second-largest HBM stream at serving batch (large-v3: 0.49 GB/utt in
+    bf16, read every token); int8 halves it and the scales factor out of
+    the attention dots exactly like the self-cache (attention_quant)."""
     dec = params["decoder"]
 
     def body(_, blk):
         k = _split_heads(linear(audio_embed, blk["cross_k"]), hp.n_text_head)
         v = _split_heads(linear(audio_embed, blk["cross_v"]), hp.n_text_head)
+        if quant:
+            return None, (quantize_kv_rows(k), quantize_kv_rows(v))
         return None, (k, v)
 
     _, (ks, vs) = lax.scan(body, None, dec["blocks"])
@@ -402,10 +409,15 @@ def decoder_forward(
             o = attention(q, kv_k_l, kv_v_l, mask)
         x = x + linear(_merge_heads(o), blk["attn_out"])
 
-        # --- cross-attention (precomputed K/V)
+        # --- cross-attention (precomputed K/V; optionally int8 codes +
+        # per-position scales, which factor out of both dots — see
+        # cross_attention_kv / attention_quant)
         h = layer_norm(x, blk["cross_ln"], hp.eps)
         qc = _split_heads(linear(h, blk["cross_q"]), H)
         scale = qc.shape[-1] ** -0.5
+        cross_q8 = isinstance(ck, tuple)
+        if cross_q8:
+            (ck, ck_s), (cv, cv_s) = ck, cv
         if ck.shape[0] != B:
             # shared encoder K/V across groups of decoders (beam/best-of
             # fan-out, and utterance×beam folding in batch mode): fold each
@@ -421,21 +433,29 @@ def decoder_forward(
             qh = (qc.reshape(U, G, H, T, dh)
                     .transpose(0, 2, 1, 3, 4).reshape(U, H, G * T, dh))
             cross_logits = jnp.einsum(
-                "uhqd,uhkd->uhqk", qh, ck,
+                "uhqd,uhkd->uhqk", qh, ck.astype(qc.dtype),
                 preferred_element_type=jnp.float32) * scale       # (U,H,G*T,Ta)
+            if cross_q8:
+                cross_logits = cross_logits * ck_s[:, :, None, :]
             cross_probs = jax.nn.softmax(cross_logits, axis=-1)
-            oc = jnp.einsum("uhqk,uhkd->uhqd", cross_probs.astype(cv.dtype), cv,
-                            preferred_element_type=jnp.float32).astype(cv.dtype)
+            pw = (cross_probs * cv_s[:, :, None, :] if cross_q8
+                  else cross_probs).astype(qc.dtype)
+            oc = jnp.einsum("uhqk,uhkd->uhqd", pw, cv.astype(qc.dtype),
+                            preferred_element_type=jnp.float32).astype(qc.dtype)
             oc = (oc.reshape(U, H, G, T, dh)
                     .transpose(0, 2, 1, 3, 4).reshape(B, H, T, dh))
             cross_probs = (cross_probs.reshape(U, H, G, T, ta)
                            .transpose(0, 2, 1, 3, 4).reshape(B, H, T, ta))
         else:
-            cross_logits = jnp.einsum("bhqd,bhkd->bhqk", qc, ck,
+            cross_logits = jnp.einsum("bhqd,bhkd->bhqk", qc, ck.astype(qc.dtype),
                                       preferred_element_type=jnp.float32) * scale
+            if cross_q8:
+                cross_logits = cross_logits * ck_s[:, :, None, :]
             cross_probs = jax.nn.softmax(cross_logits, axis=-1)
-            oc = jnp.einsum("bhqk,bhkd->bhqd", cross_probs.astype(cv.dtype), cv,
-                            preferred_element_type=jnp.float32).astype(cv.dtype)
+            pw = (cross_probs * cv_s[:, :, None, :] if cross_q8
+                  else cross_probs).astype(qc.dtype)
+            oc = jnp.einsum("bhqk,bhkd->bhqd", pw, cv.astype(qc.dtype),
+                            preferred_element_type=jnp.float32).astype(qc.dtype)
         x = x + linear(_merge_heads(oc), blk["cross_out"])
 
         # --- MLP
