@@ -148,3 +148,9 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 def kv_sharding(mesh: Mesh) -> NamedSharding:
     """KV caches (L, B, H, T, Dh): batch over data, heads over model."""
     return NamedSharding(mesh, P(None, "data", "model", None, None))
+
+
+def kv_scale_sharding(mesh: Mesh) -> NamedSharding:
+    """Int8-cache scale arrays (L, B, H, T): follow the codes' layout
+    (models/whisper.py KVCache ks/vs)."""
+    return NamedSharding(mesh, P(None, "data", "model", None))
