@@ -183,6 +183,98 @@ def spec_tp_compile_evidence(tp: int = 2, preset: str = "large-v3",
             "decode_speculative": _report(sdec)}
 
 
+def capacity_tp_compile_evidence(dp: int = 2, tp: int = 2, n_utt: int = 8,
+                                 preset: str = "large-v3") -> dict:
+    """The POD-SERVING configuration (r4): DP x TP mesh, U utterances
+    sharded over 'data', int8-block (q5) weights sharded over 'model',
+    int8 self-KV AND cross-KV — i.e. the exact capacity setup from
+    bench.py batch_capacity (q5_kv8 rows), partitioned. Per-shard args
+    must be ~1/(dp·tp) of the cross-KV plus ~1/tp of the weights."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from whisper_tpu.config import (FullParams, PRESET_HPARAMS,
+                                    SamplingStrategy)
+    from whisper_tpu.checkpoint.init import random_params
+    from whisper_tpu.decoding import batch_loop, device_loop, filters
+    from whisper_tpu.parallel import mesh as mesh_mod
+    from whisper_tpu.tokenizer import synthetic_vocab
+
+    hp = PRESET_HPARAMS[preset]
+    mesh = mesh_mod.make_mesh(dp, tp)
+
+    # q5-layout abstract weights (matmul leaves -> int8 codes + scales;
+    # same rule as bench.py batch_capacity / checkpoint keep_quantized)
+    shapes = jax.eval_shape(
+        lambda: jax.tree_util.tree_map(
+            jnp.asarray, random_params(hp, seed=0, compute_dtype="bfloat16")))
+
+    def quantize_leaf(d):
+        if not (isinstance(d, dict) and "w" in d):
+            return d
+        out_d = dict(d)
+        w = out_d.pop("w")
+        if len(w.shape) >= 2 and w.shape[-2] % 32 == 0 and w.shape[-1] >= 64:
+            out_d["q"] = jax.ShapeDtypeStruct(w.shape, jnp.int8)
+            out_d["d"] = jax.ShapeDtypeStruct(
+                w.shape[:-2] + (w.shape[-2] // 32, w.shape[-1]), jnp.float32)
+        else:
+            out_d["w"] = w
+        return out_d
+
+    def walk(t):
+        if isinstance(t, dict):
+            return quantize_leaf(t) if "w" in t else {k: walk(v)
+                                                      for k, v in t.items()}
+        return t
+
+    q_shapes = walk(shapes)
+    # conv stem stays bf16 (the loader's keep_quantized does the same:
+    # ggml never quantizes the conv weights; param_specs expects "w" there)
+    q_shapes["encoder"]["conv1"] = shapes["encoder"]["conv1"]
+    q_shapes["encoder"]["conv2"] = shapes["encoder"]["conv2"]
+    specs = mesh_mod.param_specs(q_shapes, tp=tp > 1, n_model=tp)
+    abs_params = jax.tree_util.tree_map(
+        lambda s, sp: jax.ShapeDtypeStruct(
+            s.shape, s.dtype, sharding=NamedSharding(mesh, sp)),
+        q_shapes, specs, is_leaf=lambda x: not isinstance(x, dict))
+
+    vocab = synthetic_vocab(hp.n_vocab)
+    consts, tids = filters.build_filter_consts(
+        vocab, hp, FullParams.default(SamplingStrategy.BEAM_SEARCH))
+
+    def sds(shape, dtype, spec=None):
+        return jax.ShapeDtypeStruct(
+            shape, dtype,
+            sharding=NamedSharding(mesh, spec if spec is not None else P()))
+
+    L, H = hp.n_text_layer, hp.n_text_head
+    dh = hp.n_text_state // H
+    i32, f32, bf16 = jnp.int32, jnp.float32, jnp.bfloat16
+    U = n_utt
+    # int8 cross-KV tuples: utterances over data, heads over model
+    ck = (sds((L, U, H, hp.n_audio_ctx, dh), jnp.int8,
+              P(None, "data", "model", None, None)),
+          sds((L, U, H, hp.n_audio_ctx), f32,
+              P(None, "data", "model", None)))
+    prompt_max = hp.n_text_ctx // 2 + 8
+    row = P("data")
+    with mesh:
+        dec = batch_loop.decode_windows_batch.lower(
+            abs_params, hp, consts, ck, ck,
+            sds((U, prompt_max), i32, row), sds((U,), i32, row),
+            sds((), f32), sds((U,), i32, row), sds((U,), i32, row),
+            sds((U,), jnp.bool_, row),
+            sds((2,), jnp.uint32),
+            tids=tids, n_utt=U, n_per_utt=5,
+            strategy=device_loop.BEAM, dtype=bf16,
+            kv_quant=True).compile()
+    return {"dp": dp, "tp": tp, "n_utt": U, "preset": preset,
+            "weights": "q5", "kv": "int8",
+            "decode_beam5_capacity": _report(dec)}
+
+
 def main() -> int:
     import os
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -195,6 +287,9 @@ def main() -> int:
     results = [tp_compile_evidence(tp) for tp in degrees]
     if 2 in degrees:
         results.append(spec_tp_compile_evidence(2))
+    if n >= 4:
+        # the pod-serving capacity config: DP x TP x q5 x int8-KV
+        results.append(capacity_tp_compile_evidence(dp=2, tp=2, n_utt=8))
     print(json.dumps(results, indent=1))
     return 0
 
