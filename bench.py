@@ -402,27 +402,8 @@ def batch_capacity_check() -> dict:
     abs_params = jax.tree_util.tree_map(
         lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype), shapes)
 
-    def quantize_leaf(d):
-        if not (isinstance(d, dict) and "w" in d):
-            return d
-        out_d = dict(d)
-        w = out_d.pop("w")
-        if len(w.shape) >= 2 and w.shape[-2] % 32 == 0 and w.shape[-1] >= 64:
-            out_d["q"] = jax.ShapeDtypeStruct(w.shape, jnp.int8)
-            out_d["d"] = jax.ShapeDtypeStruct(
-                w.shape[:-2] + (w.shape[-2] // 32, w.shape[-1]), jnp.float32)
-        else:
-            out_d["w"] = w
-        return out_d
-
-    def walk(tree):
-        if isinstance(tree, dict):
-            if "w" in tree:
-                return quantize_leaf(tree)
-            return {k: walk(v) for k, v in tree.items()}
-        return tree
-
-    q_params = walk(abs_params)
+    from whisper_tpu.checkpoint.quant import abstract_int8_block_shapes
+    q_params = abstract_int8_block_shapes(abs_params)
 
     L, H = hp.n_text_layer, hp.n_text_head
     dh = hp.n_text_state // hp.n_text_head

@@ -125,3 +125,16 @@ def test_stream_cli_capture_requires_backend(tmp_path):
                        _make_test_tensors(hp))
     rc = stream_mod.main(["-m", model, "--capture", "--capture-seconds", "1"])
     assert rc == 1
+
+
+def test_clear_resets_valid_window():
+    """get() after clear() returns only post-clear audio — no fabricated
+    zero-padding from the pre-clear ring history (audio_async::clear)."""
+    cap = _cap(len_ms=1000)
+    cap.resume()
+    cap.backend.push(np.ones(20000, np.float32))   # wraps the 16000 ring
+    cap.clear()
+    fresh = np.arange(1000, dtype=np.float32)
+    cap.backend.push(fresh)
+    got = cap.get(1000)
+    np.testing.assert_array_equal(got, fresh)      # exactly the new audio

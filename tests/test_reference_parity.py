@@ -1373,8 +1373,9 @@ def test_multinomial_sampling_distributional(ref_harness, parity_model_sample,
         f"t={temp}: TVD {tvd:.3f} over {n_ref}/{n_ours} draws\n"
         f"ref:  {ref_hist.most_common(8)}\nours: {our_hist.most_common(8)}")
 
-    # discriminativeness: our t=0.4 stream must NOT match the reference's
-    # t=0.8 distribution better than its matched-temperature counterpart
+    # discriminativeness: our stream at this temperature must NOT match the
+    # reference's OTHER-temperature (0.3 vs 1.0) distribution better than
+    # its matched-temperature counterpart
     other = 1.0 if temp == 0.3 else 0.3
     out2 = _run_ref(ref_harness,
                     ["full", parity_model_sample, str(pcm),

@@ -640,3 +640,39 @@ def dequantize_to_int8_blocks(raw: bytes, ttype: int, nelems: int):
         q = (_split_nibbles(blocks[:, 8:24]) | (_qh_bits(qh) << 4)).astype(np.int8)
         return q, d, m
     raise ValueError(f"unsupported quantized type {ttype}")
+
+
+def abstract_int8_block_shapes(param_shapes, qblock: int = 32):
+    """Map a ShapeDtypeStruct params pytree to the keep_quantized layout:
+    every matmul-weight leaf {"w": (..., in, out)} whose in-axis divides
+    `qblock` and out >= 64 becomes {"q": int8 same-shape, "d": f32
+    (..., in//qblock, out)} — exactly what checkpoint/loader.py produces
+    for served int8-block (q5-class) weights. Conv-stem and sub-threshold
+    leaves keep "w" (ggml never quantizes convs either). Shared by
+    bench.py batch_capacity and tools/tp_evidence.py so the abstract
+    capacity evidence can't drift from the real layout (r4 review)."""
+    import jax
+    import jax.numpy as jnp
+
+    def quantize_leaf(d):
+        out_d = dict(d)
+        w = out_d.pop("w")
+        if len(w.shape) >= 2 and w.shape[-2] % qblock == 0 and w.shape[-1] >= 64:
+            out_d["q"] = jax.ShapeDtypeStruct(w.shape, jnp.int8)
+            out_d["d"] = jax.ShapeDtypeStruct(
+                w.shape[:-2] + (w.shape[-2] // qblock, w.shape[-1]),
+                jnp.float32)
+        else:
+            out_d["w"] = w
+        return out_d
+
+    def walk(tree, path):
+        if isinstance(tree, dict):
+            if "w" in tree:
+                if path[-1:] in (("conv1",), ("conv2",)):
+                    return tree
+                return quantize_leaf(tree)
+            return {k: walk(v, path + (k,)) for k, v in tree.items()}
+        return tree
+
+    return walk(param_shapes, ())

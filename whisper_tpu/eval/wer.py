@@ -16,6 +16,19 @@ from whisper_tpu.eval.normalizer import (  # noqa: F401  (re-exported API)
     EnglishTextNormalizer,
 )
 
+_NORMALIZER = None
+
+
+def _default_normalizer() -> EnglishTextNormalizer:
+    """Shared instance: construction loads the 1.7k-entry spelling table
+    from disk and builds the number-machine vocabularies — per-call
+    construction made hot callers (CommandDetector scoring every allowed
+    command per utterance) re-do that work constantly (r4 review)."""
+    global _NORMALIZER
+    if _NORMALIZER is None:
+        _NORMALIZER = EnglishTextNormalizer()
+    return _NORMALIZER
+
 
 def _edit_ops(ref: Sequence[str], hyp: Sequence[str]) -> Tuple[int, int, int]:
     """(substitutions+deletions+insertions breakdown) via Levenshtein DP.
@@ -56,7 +69,7 @@ def _edit_ops(ref: Sequence[str], hyp: Sequence[str]) -> Tuple[int, int, int]:
 def wer(references: Iterable[str], hypotheses: Iterable[str],
         normalize: bool = False) -> float:
     """Corpus WER = (S+D+I) / total reference words (jiwer semantics)."""
-    norm = EnglishTextNormalizer() if normalize else (lambda x: x)
+    norm = _default_normalizer() if normalize else (lambda x: x)
     total_err = 0
     total_ref = 0
     for ref, hyp in zip(references, hypotheses):
@@ -69,7 +82,7 @@ def wer(references: Iterable[str], hypotheses: Iterable[str],
 
 
 def wer_details(reference: str, hypothesis: str, normalize: bool = True):
-    norm = EnglishTextNormalizer() if normalize else (lambda x: x)
+    norm = _default_normalizer() if normalize else (lambda x: x)
     r = norm(reference).split()
     h = norm(hypothesis).split()
     S, D, I = _edit_ops(r, h)

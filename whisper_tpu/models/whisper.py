@@ -374,39 +374,27 @@ def decoder_forward(
                 lambda t: tuple(a[fork_src] for a in t),
                 lambda t: t, kvs)
         # write new K/V at positions [pos0, pos0+T)
+        def _write(cache_l, new_rows):
+            """DUS rows at [pos0, pos0+T) on one layer's cache — same
+            helper for (B, H, T, Dh) value arrays and (B, H, T) scales."""
+            tail = new_rows.ndim - 3           # dims after the T axis
+            if per_row:
+                def _upd(cache_b, new_b, p):
+                    return lax.dynamic_update_slice(
+                        cache_b, new_b, (0, p) + (0,) * tail)
+                return jax.vmap(_upd)(cache_l, new_rows, pos0_vec)
+            return lax.dynamic_update_slice(
+                cache_l, new_rows, (0, 0, pos0) + (0,) * tail)
+
         if quant:
-            kv_k_l, kv_v_l, ks_l, vs_l = kvs
             kq_new, ksc_new = quantize_kv_rows(k_new)
             vq_new, vsc_new = quantize_kv_rows(v_new)
-            if per_row:
-                def _upd(cache_b, new_b, p):
-                    return lax.dynamic_update_slice(cache_b, new_b, (0, p, 0))
-
-                def _upds(cache_b, new_b, p):
-                    return lax.dynamic_update_slice(cache_b, new_b, (0, p))
-                kv_k_l = jax.vmap(_upd)(kv_k_l, kq_new, pos0_vec)
-                kv_v_l = jax.vmap(_upd)(kv_v_l, vq_new, pos0_vec)
-                ks_l = jax.vmap(_upds)(ks_l, ksc_new, pos0_vec)
-                vs_l = jax.vmap(_upds)(vs_l, vsc_new, pos0_vec)
-            else:
-                kv_k_l = lax.dynamic_update_slice(kv_k_l, kq_new, (0, 0, pos0, 0))
-                kv_v_l = lax.dynamic_update_slice(kv_v_l, vq_new, (0, 0, pos0, 0))
-                ks_l = lax.dynamic_update_slice(ks_l, ksc_new, (0, 0, pos0))
-                vs_l = lax.dynamic_update_slice(vs_l, vsc_new, (0, 0, pos0))
-            kvs = (kv_k_l, kv_v_l, ks_l, vs_l)
-            o = attention_quant(q, kv_k_l, ks_l, kv_v_l, vs_l, mask)
+            kvs = tuple(_write(c, n) for c, n in
+                        zip(kvs, (kq_new, vq_new, ksc_new, vsc_new)))
+            o = attention_quant(q, kvs[0], kvs[2], kvs[1], kvs[3], mask)
         else:
-            kv_k_l, kv_v_l = kvs
-            if per_row:
-                def _upd(cache_b, new_b, p):
-                    return lax.dynamic_update_slice(cache_b, new_b, (0, p, 0))
-                kv_k_l = jax.vmap(_upd)(kv_k_l, k_new, pos0_vec)
-                kv_v_l = jax.vmap(_upd)(kv_v_l, v_new, pos0_vec)
-            else:
-                kv_k_l = lax.dynamic_update_slice(kv_k_l, k_new, (0, 0, pos0, 0))
-                kv_v_l = lax.dynamic_update_slice(kv_v_l, v_new, (0, 0, pos0, 0))
-            kvs = (kv_k_l, kv_v_l)
-            o = attention(q, kv_k_l, kv_v_l, mask)
+            kvs = tuple(_write(c, n) for c, n in zip(kvs, (k_new, v_new)))
+            o = attention(q, kvs[0], kvs[1], mask)
         x = x + linear(_merge_heads(o), blk["attn_out"])
 
         # --- cross-attention (precomputed K/V; optionally int8 codes +

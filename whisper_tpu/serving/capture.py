@@ -93,6 +93,7 @@ class AudioCapture:
         self._ring = np.zeros(self._n, np.float32)
         self._pos = 0          # next write index
         self._count = 0        # total samples ever written
+        self._filled = 0       # valid samples currently in the ring (<= _n)
         self._drained = 0      # total samples returned by drain()
         self._lock = threading.Lock()
         self.backend = backend if backend is not None else \
@@ -118,6 +119,7 @@ class AudioCapture:
                     self._ring[:end - self._n] = s[k:]
                 self._pos = end % self._n
             self._count += len(s)
+            self._filled = min(self._n, self._filled + len(s))
 
     # -- control -----------------------------------------------------------
     def resume(self) -> None:
@@ -131,9 +133,13 @@ class AudioCapture:
             self.backend.stop()
 
     def clear(self) -> None:
+        """Drop buffered audio (reference audio_async::clear resets the
+        valid-length counter, so get() afterwards returns only NEW
+        samples — not a zero-padded window; r4 review)."""
         with self._lock:
             self._ring[:] = 0.0
             self._pos = 0
+            self._filled = 0
             self._drained = self._count
 
     def __enter__(self):
@@ -152,11 +158,11 @@ class AudioCapture:
         return np.concatenate([self._ring[start:], self._ring[:n - k]])
 
     def get(self, ms: int) -> np.ndarray:
-        """Last `ms` milliseconds (zero-padded only by ring pre-fill)."""
+        """Last `ms` milliseconds, clamped to the audio actually buffered
+        since start/clear (reference audio_async::get)."""
         n = min(self._n, self.sample_rate * ms // 1000)
         with self._lock:
-            n = min(n, max(self._count, 0)) if self._count < self._n else n
-            return self._tail(n)
+            return self._tail(min(n, self._filled))
 
     def drain(self) -> np.ndarray:
         """Samples captured since the last drain (clamped to the ring: if

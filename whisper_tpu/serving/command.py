@@ -20,7 +20,7 @@ import numpy as np
 
 from whisper_tpu.api import WhisperContext
 from whisper_tpu.config import FullParams, SAMPLE_RATE
-from whisper_tpu.eval.wer import EnglishTextNormalizer, wer_details
+from whisper_tpu.eval.wer import wer_details
 from whisper_tpu.serving.stream import vad_simple
 
 
@@ -43,7 +43,6 @@ class CommandDetector:
         self.ctx = ctx
         self.commands = commands
         self.p = params or CommandParams()
-        self.norm = EnglishTextNormalizer()
         self.buffer = np.zeros(0, np.float32)
 
     def _full_params(self) -> FullParams:

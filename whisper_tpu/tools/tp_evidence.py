@@ -204,36 +204,13 @@ def capacity_tp_compile_evidence(dp: int = 2, tp: int = 2, n_utt: int = 8,
     hp = PRESET_HPARAMS[preset]
     mesh = mesh_mod.make_mesh(dp, tp)
 
-    # q5-layout abstract weights (matmul leaves -> int8 codes + scales;
-    # same rule as bench.py batch_capacity / checkpoint keep_quantized)
+    # q5-layout abstract weights (same rule as the real keep_quantized
+    # loader layout — shared helper, r4 review)
+    from whisper_tpu.checkpoint.quant import abstract_int8_block_shapes
     shapes = jax.eval_shape(
         lambda: jax.tree_util.tree_map(
             jnp.asarray, random_params(hp, seed=0, compute_dtype="bfloat16")))
-
-    def quantize_leaf(d):
-        if not (isinstance(d, dict) and "w" in d):
-            return d
-        out_d = dict(d)
-        w = out_d.pop("w")
-        if len(w.shape) >= 2 and w.shape[-2] % 32 == 0 and w.shape[-1] >= 64:
-            out_d["q"] = jax.ShapeDtypeStruct(w.shape, jnp.int8)
-            out_d["d"] = jax.ShapeDtypeStruct(
-                w.shape[:-2] + (w.shape[-2] // 32, w.shape[-1]), jnp.float32)
-        else:
-            out_d["w"] = w
-        return out_d
-
-    def walk(t):
-        if isinstance(t, dict):
-            return quantize_leaf(t) if "w" in t else {k: walk(v)
-                                                      for k, v in t.items()}
-        return t
-
-    q_shapes = walk(shapes)
-    # conv stem stays bf16 (the loader's keep_quantized does the same:
-    # ggml never quantizes the conv weights; param_specs expects "w" there)
-    q_shapes["encoder"]["conv1"] = shapes["encoder"]["conv1"]
-    q_shapes["encoder"]["conv2"] = shapes["encoder"]["conv2"]
+    q_shapes = abstract_int8_block_shapes(shapes)
     specs = mesh_mod.param_specs(q_shapes, tp=tp > 1, n_model=tp)
     abs_params = jax.tree_util.tree_map(
         lambda s, sp: jax.ShapeDtypeStruct(
