@@ -187,3 +187,58 @@ def test_cross_kv_is_quantized_tuples(audio):
     codes, scales = st.cross_k
     assert codes.dtype == np.int8 and scales.dtype == np.float32
     assert codes.shape[:-1] == scales.shape
+
+
+def test_batch_beam_with_quant_cache(audio):
+    """full_batch beam with int8 caches: equals the single-utterance quant
+    path and the bf16 batch stream (decisive sharpened model) — covers the
+    block-diagonal fork + fold paths over quantized self- and cross-KV."""
+    p = FullParams.default(SamplingStrategy.BEAM_SEARCH)
+    p.print_progress = False
+    p.beam_search.beam_size = 3
+    p.greedy.best_of = 3
+    p.temperature_inc = 0.0
+    p.no_timestamps = True
+    p.max_tokens = 10
+    p.suppress_regex = r"<syn\d\d\d+>"
+
+    audios = [audio, (0.5 * audio).astype(np.float32)]
+
+    def toks(segss):
+        return [[[t.id for t in s.tokens] for s in segs] for segs in segss]
+
+    ctx_q = _ctx("int8", sharp=True)
+    batch_q = ctx_q.full_batch(p, audios)
+    st = ctx_q.create_state()
+    st.full(p, audios[0])
+    assert toks([batch_q[0]]) == toks([st.segments])
+
+    ctx_f = _ctx("", sharp=True)
+    assert toks(batch_q) == toks(ctx_f.full_batch(p, audios))
+
+
+def test_speculative_with_quant_cache(audio):
+    """Speculative greedy composes with int8 caches: identical stream with
+    and without the draft (acceptance moves speed, never tokens)."""
+    main = _ctx("int8", sharp=True, seed=0)
+    draft = _ctx("int8", sharp=True, seed=123)
+
+    p = FullParams.default()
+    p.temperature_inc = 0.0
+    p.no_timestamps = True
+    p.max_tokens = 16
+
+    st_plain = main.create_state()
+    st_plain.full(p, audio)
+    base = [(s.t0, s.t1, [t.id for t in s.tokens]) for s in st_plain.segments]
+
+    main.attach_draft(draft)
+    try:
+        st_spec = main.create_state()
+        st_spec.full(p, audio)
+        got = [(s.t0, s.t1, [t.id for t in s.tokens])
+               for s in st_spec.segments]
+    finally:
+        main.draft = None
+
+    assert got == base and len(base) > 0
