@@ -251,12 +251,15 @@ def test_batch_initial_prompt_matches_sequential(ctx, audios):
     st.full(p, audios[0])
     assert [[t.id for t in s.tokens] for s in got] == \
            [[t.id for t in s.tokens] for s in st.segments]
-    # and it must actually change the output vs no prompt
+    # and it must actually condition the decoder vs no prompt: either the
+    # stream changes, or (when the random model sits in a prompt-robust
+    # repetition attractor) the per-token PROBABILITIES must shift — token
+    # ids alone can coincide by chance on a random model (r4)
     p2 = _decisive_p()
     base = ctx.full_batch(p2, audios[:1])[0]
     tok = lambda segs: [[t.id for t in s.tokens] for s in segs]
-    # (random weights: conditioning almost surely changes the stream)
-    assert tok(got) != tok(base) or len(tok(got)) == 0
+    probs = lambda segs: [round(t.p, 5) for s in segs for t in s.tokens]
+    assert tok(got) != tok(base) or probs(got) != probs(base)
 
 
 def test_batch_duration_offset_matches_sequential(ctx, audios):

@@ -248,3 +248,64 @@ def test_no_host_weight_copy_pinned(tmp_path):
     import jax
     if jax.default_backend() == "cpu":
         assert ctx.cpu_twin() is ctx
+
+
+def test_distil_forced_no_timestamps_reaches_filters(audio):
+    """Distil detection (n_text_layer==2 && n_vocab!=51866) forces
+    no_timestamps — and that forcing must reach the LOGIT FILTERS, not just
+    the prompt/state machine (reference mutates its by-value params before
+    whisper_process_logits, src/whisper.cpp:6956-6959 + 6198-6202; r4
+    review): with an embedding rigged so the argmax would be a timestamp
+    token, the decoded stream must contain none, and must equal the
+    explicit no_timestamps=True stream."""
+    import jax.numpy as jnp
+
+    import dataclasses
+    hp = dataclasses.replace(tiny_test_hparams(), n_text_layer=2)
+    assert hp.n_text_layer == 2 and hp.n_vocab != 51866
+
+    ctx = wt.WhisperContext.random(
+        hp=hp, params=ContextParams(dtype="float32"), seed=2)
+    beg = ctx.vocab.token_beg
+    emb = np.asarray(ctx.params["decoder"]["token_embed"]).copy()
+    emb[beg + 5] *= 50.0                  # timestamp token would win argmax
+    ctx.params = {**ctx.params,
+                  "decoder": {**ctx.params["decoder"],
+                              "token_embed": jnp.asarray(emb)}}
+
+    def run(no_ts):
+        p = FullParams.default()
+        p.print_progress = False
+        p.no_timestamps = no_ts
+        p.max_tokens = 8
+        p.temperature_inc = 0.0
+        st = ctx.create_state()
+        st.full(p, audio)
+        return [[t.id for t in s.tokens] for s in st.segments]
+
+    implicit = run(False)                 # distil rule forces it
+    assert implicit and all(t < beg for seg in implicit for t in seg), implicit
+    assert implicit == run(True)
+
+
+def test_single_segment_advances_all_windows(ctx):
+    """single_segment merges each WINDOW into one segment but must not end
+    the seek loop (the reference has no such break — :7354/:7594 are its
+    only uses; r4 review): >30 s audio yields one segment per window, same
+    as the batch orchestrator."""
+    rng = np.random.default_rng(9)
+    audio = (0.1 * rng.standard_normal(16000 * 65)).astype(np.float32)
+    p = FullParams.default()
+    p.print_progress = False
+    p.single_segment = True
+    p.no_timestamps = True
+    p.max_tokens = 8
+    p.temperature_inc = 0.0
+    p.suppress_regex = r"<syn\d\d\d+>"
+
+    st = ctx.create_state()
+    st.full(p, audio)
+    texts = [s.text for s in st.segments]
+    assert len(texts) >= 2, texts          # 65 s = 3 windows, not 1 segment
+    batch = ctx.full_batch(p, [audio])[0]
+    assert texts == [s.text for s in batch]

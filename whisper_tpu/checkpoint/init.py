@@ -123,9 +123,16 @@ def random_model(
 
 
 def tiny_test_hparams(n_vocab: int = 51864, n_mels: int = 80) -> WhisperHParams:
-    """A micro model (2 layers, 64-dim) for fast unit tests."""
+    """A micro model (2 audio / 3 text layers, 64-dim) for fast unit tests.
+
+    THREE decoder layers on purpose: n_text_layer == 2 with a non-51866
+    vocab trips the distil-whisper detection (loop.py is_distil, reference
+    src/whisper.cpp:6954-6959), which force-disables timestamps — the
+    default test model must behave like regular whisper (r4: the forced
+    flag now reaches the logit filters, so a distil-shaped fixture would
+    silently strip every timestamp test)."""
     return WhisperHParams(
         n_vocab=n_vocab, n_audio_ctx=1500, n_audio_state=64, n_audio_head=2,
         n_audio_layer=2, n_text_ctx=448, n_text_state=64, n_text_head=2,
-        n_text_layer=2, n_mels=n_mels,
+        n_text_layer=3, n_mels=n_mels,
     )

@@ -85,7 +85,6 @@ def run_full_batch(
                     timings_sink.add(phase, stat.total_s, stat.calls)
         return out
 
-    consts, tids = filters.build_filter_consts(vocab, hp, params)
     prompt_max = hp.n_text_ctx // 2 + 8
     temperatures = params.temperatures()
 
@@ -94,6 +93,14 @@ def run_full_batch(
     # reference src/whisper.cpp:6954-6959)
     if hp.n_text_layer == 2 and hp.n_vocab != 51866 and not no_timestamps:
         no_timestamps = True
+    # forced no_timestamps must reach the filters (reference :6956-6959 +
+    # :6198-6202; r4 review — see run_full)
+    fparams = params
+    if no_timestamps != params.no_timestamps:
+        import copy
+        fparams = copy.copy(params)
+        fparams.no_timestamps = True
+    consts, tids = filters.build_filter_consts(vocab, hp, fparams)
 
     # per-utterance host state
     states = [ctx.create_state() for _ in range(B)]
@@ -167,7 +174,9 @@ def run_full_batch(
     if params.prompt_tokens:
         prompt_past = [list(params.prompt_tokens) for _ in range(B)]
 
-    done = np.array([seek_end[b] < seek[b] + DELTA_MIN for b in range(B)])
+    # '>=' like the loop-bottom check and the reference (:6995); '<' was
+    # off by one at exactly DELTA_MIN frames remaining (r4 review)
+    done = np.array([seek[b] + DELTA_MIN >= seek_end[b] for b in range(B)])
 
     data_sharding = None
     if mesh is not None:
@@ -344,6 +353,21 @@ def run_full_batch(
                         else:
                             wrapped.append(s)
                     segs = wrapped
+                # DTW token timestamps, same as run_full (:7679-7692;
+                # the batch path silently dropped them — r4 review). The
+                # collect pass reads state.cross_k/v: hand it this
+                # utterance's slice of the batched encoder K/V (works for
+                # bf16 arrays and int8 (codes, scales) tuples alike).
+                if ctx.cparams.dtw_token_timestamps and segs:
+                    from whisper_tpu.decoding.dtw import compute_dtw_timestamps
+                    states[b].cross_k = jax.tree_util.tree_map(
+                        lambda x: x[:, b:b + 1], ck)
+                    states[b].cross_v = jax.tree_util.tree_map(
+                        lambda x: x[:, b:b + 1], cv)
+                    n_frames = min(100 * CHUNK_SIZE, sd,
+                                   int(seek_end[b] - seek[b]))
+                    compute_dtw_timestamps(states[b], params, segs,
+                                           int(seek[b]), n_frames)
                 results[b].extend(segs)
 
             if (result_len > 1

@@ -197,7 +197,9 @@ def decode_windows_batch(
             grammar_reject=g_rej,
             grammar_penalty=(grammar_penalty
                              if grammar_penalty is not None else 100.0))
-        pt, ptsum, tid = timestamp_stats(probs, tids)
+        pt, ptsum, tid = timestamp_stats(
+            probs, tids,
+            default_tid=tids.beg if strategy == BEAM else 0)
 
         if strategy == SAMPLE:
             g = jax.random.gumbel(jax.random.fold_in(rng_key, i), (B, V))

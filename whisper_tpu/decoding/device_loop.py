@@ -10,7 +10,10 @@ around `lax.while_loop`. Only the final token buffers cross back to the
 host, once per (window × temperature).
 
 Matching reference semantics:
-- sampling: whisper_sample_token{,_topk} (:6432-6563)
+- sampling: whisper_sample_token (:6432-6493); beam CANDIDATES are
+  deterministic top-k, an intentional deviation from
+  whisper_sample_token_topk's k multinomial draws (:6549-6558) — see
+  PARITY.md "Documented deviations"
 - beam candidate sort + dedup + KV fork: (:7239-7290), with the KV
   seq-copy replaced by a batch-axis gather (models/whisper.py KVCache)
 - per-decoder update rules (timestamp/seek_delta/completed/failed):
@@ -263,7 +266,9 @@ def decode_window(
             grammar_penalty=(grammar_penalty
                              if grammar_penalty is not None else 100.0),
         )
-        pt, ptsum, tid = timestamp_stats(probs, tids)
+        pt, ptsum, tid = timestamp_stats(
+            probs, tids,
+            default_tid=tids.beg if strategy == BEAM else 0)
 
         key = jax.random.fold_in(rng_key, i)
 

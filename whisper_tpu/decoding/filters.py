@@ -212,9 +212,15 @@ def apply_filters(
     return logits, logprobs, probs
 
 
-def timestamp_stats(probs: jax.Array, tid_consts: TokenIds):
+def timestamp_stats(probs: jax.Array, tid_consts: TokenIds,
+                    default_tid: int = 0):
     """(pt, ptsum, tid): max/sum of timestamp-token probabilities and argmax
-    timestamp id (reference whisper_sample_token :6447-6465)."""
+    timestamp id (reference whisper_sample_token :6447-6465).
+
+    `default_tid` is the value tid keeps when the timestamp mass is
+    all-zero: 0 for greedy/sample (whisper_sample_token's init, :6437 —
+    the tid=0 quirk) but token_beg for BEAM (whisper_sample_token_topk
+    initializes `tid = vocab.token_beg`, :6524 — r4 review)."""
     V = tid_consts.n_vocab
     ids = jnp.arange(V)
     is_ts = ids >= tid_consts.beg
@@ -229,5 +235,8 @@ def timestamp_stats(probs: jax.Array, tid_consts: TokenIds):
     # (and on non-zero rows, the first maximal index, matching the
     # strict `<` scan at :6455-6459).
     tid = jnp.argmax(ts_probs, axis=-1).astype(jnp.int32)
+    # strictly-positive max required to move off the init value (the
+    # reference scan updates only on `max_ts < probs[i]`)
+    tid = jnp.where(max_ts > 0, tid, jnp.int32(default_tid))
     pt = max_ts / (ptsum + 1e-10)
     return pt, ptsum, tid

@@ -31,16 +31,18 @@ from whisper_tpu.decoding.device_loop import (
 )
 
 
-@functools.partial(jax.jit, static_argnames=("tids",))
+@functools.partial(jax.jit, static_argnames=("tids", "default_tid"))
 def _filter_step(logits, consts, tids, is_initial, last_was_ts, penult_was_ts,
-                 has_ts, seek_delta, temperature, grammar_reject, grammar_penalty):
+                 has_ts, seek_delta, temperature, grammar_reject,
+                 grammar_penalty, default_tid=0):
     lg, logprobs, probs = filters_mod.apply_filters(
         logits, consts, tids,
         is_initial=is_initial, last_was_ts=last_was_ts,
         penult_was_ts=penult_was_ts, has_ts=has_ts, seek_delta=seek_delta,
         temperature=temperature, grammar_reject=grammar_reject,
         grammar_penalty=grammar_penalty)
-    pt, ptsum, tid = filters_mod.timestamp_stats(probs, tids)
+    pt, ptsum, tid = filters_mod.timestamp_stats(probs, tids,
+                                                 default_tid=default_tid)
     return lg, logprobs, probs, pt, ptsum, tid
 
 
@@ -121,7 +123,8 @@ def decode_window_host(
             jnp.full(B, i == 0), jnp.asarray(last_was_ts),
             jnp.asarray(penult_was_ts), jnp.asarray(has_ts),
             jnp.asarray(seek_delta), jnp.float32(t_cur),
-            jnp.asarray(g_reject), jnp.float32(params.grammar_penalty)))
+            jnp.asarray(g_reject), jnp.float32(params.grammar_penalty),
+            vocab.token_beg if strategy == BEAM else 0))
 
         # ---- sampling ------------------------------------------------------
         toks = np.zeros(B, np.int32)

@@ -181,7 +181,16 @@ def run_full(state: WhisperState, params: FullParams, samples: Optional[np.ndarr
         prompt_init.append(vocab.token_not)
 
     prompt_max = hp.n_text_ctx // 2 + 8
-    consts, tids = filters.build_filter_consts(vocab, hp, params)
+    # distil-forced no_timestamps must reach the FILTERS too (the reference
+    # mutates its by-value params before whisper_process_logits,
+    # src/whisper.cpp:6956-6959): rule 2 suppresses all timestamp tokens
+    # only off params.no_timestamps (r4 review)
+    fparams = params
+    if no_timestamps != params.no_timestamps:
+        import copy
+        fparams = copy.copy(params)
+        fparams.no_timestamps = True
+    consts, tids = filters.build_filter_consts(vocab, hp, fparams)
 
     def prompt_bucket(n: int) -> int:
         """Pad the prompt to the smallest bucket that fits instead of
@@ -260,74 +269,66 @@ def run_full(state: WhisperState, params: FullParams, samples: Optional[np.ndarr
                 from whisper_tpu.decoding.host_loop import decode_window_host
                 t0 = time.perf_counter()
                 result = decode_window_host(
-                    state, params, consts, tids, prompt, t_cur, seek, seek_end,
-                    n_dec_cur, strat, rng_seed + it,
+                    state, fparams, consts, tids, prompt, t_cur, seek,
+                    seek_end, n_dec_cur, strat, rng_seed + it,
                     beam_size=params.beam_search.beam_size)
                 n_steps = int(result.n_tokens)
                 state.timings.add("decode", time.perf_counter() - t0, max(1, n_steps))
                 state.no_speech_prob = float(result.no_speech_prob)
-                best_idx, best_scores, failed = scoring.rank_decoders(result, params)
-                best_result = result
-                sc = best_scores[best_idx]
-                fallback = scoring.needs_fallback(
-                    bool(failed[best_idx]) or sc is None,
-                    sc.avg_logprobs if sc else float("-inf"),
-                    state.no_speech_prob, params, it == len(temperatures) - 1)
-                if not fallback:
-                    break
-                continue
-
-            t0 = time.perf_counter()
-            if (use_spec and strat == device_loop.GREEDY_BEST
-                    and n_dec_cur == 1):
-                # speculative greedy: draft proposes spec_k tokens, ONE main
-                # forward verifies the chunk — emits the main model's own
-                # greedy stream at a fraction of its weight-bandwidth cost
-                from whisper_tpu.decoding.speculative import (
-                    decode_window_speculative)
-                result = decode_window_speculative(
-                    ctx.params, ctx.draft.params, hp, ctx.draft.hparams,
-                    consts, state.cross_k, state.cross_v,
-                    state.draft_cross_k, state.draft_cross_v,
-                    jnp.asarray(prompt_padded), jnp.int32(prompt_len),
-                    jnp.int32(seek), jnp.int32(seek_end),
-                    tids=tids, k_spec=ctx.cparams.spec_k,
-                    max_tokens=params.max_tokens,
-                    single_segment=params.single_segment,
-                    no_timestamps=no_timestamps, dtype=ctx.dtype,
-                    kv_quant=ctx.kv_quant)
             else:
-                result = device_loop.decode_window(
-                    ctx.params, hp, consts,
-                    state.cross_k, state.cross_v,
-                    jnp.asarray(prompt_padded), jnp.int32(prompt_len),
-                    jnp.float32(t_cur), jnp.int32(seek), jnp.int32(seek_end),
-                    jax.random.PRNGKey(rng_seed + it),
-                    g_rej_dev,
-                    g_trans_dev,
-                    jnp.float32(params.grammar_penalty) if grammar_dfa else None,
-                    tids=tids,
-                    n_dec=n_dec_cur,
-                    strategy=strat,
-                    beam_size=params.beam_search.beam_size,
-                    max_tokens=params.max_tokens,
-                    single_segment=params.single_segment,
-                    no_timestamps=no_timestamps,
-                    dtype=ctx.dtype,
-                    kv_quant=ctx.kv_quant,
-                )
-            result = jax.tree_util.tree_map(np.asarray, result)
-            n_steps = int(result.n_tokens)
-            state.timings.add("decode", time.perf_counter() - t0, max(1, n_steps))
-            state.no_speech_prob = float(result.no_speech_prob)
-            if int(getattr(result, "n_rounds", 0)) > 0:
-                # speculative acceptance observability: tokens/round
-                r = int(result.n_rounds)
-                prev = getattr(state, "spec_stats", None) or {"rounds": 0,
-                                                              "tokens": 0}
-                state.spec_stats = {"rounds": prev["rounds"] + r,
-                                    "tokens": prev["tokens"] + n_steps}
+                t0 = time.perf_counter()
+                if (use_spec and strat == device_loop.GREEDY_BEST
+                        and n_dec_cur == 1):
+                    # speculative greedy: draft proposes spec_k tokens, ONE main
+                    # forward verifies the chunk — emits the main model's own
+                    # greedy stream at a fraction of its weight-bandwidth cost
+                    from whisper_tpu.decoding.speculative import (
+                        decode_window_speculative)
+                    result = decode_window_speculative(
+                        ctx.params, ctx.draft.params, hp, ctx.draft.hparams,
+                        consts, state.cross_k, state.cross_v,
+                        state.draft_cross_k, state.draft_cross_v,
+                        jnp.asarray(prompt_padded), jnp.int32(prompt_len),
+                        jnp.int32(seek), jnp.int32(seek_end),
+                        tids=tids, k_spec=ctx.cparams.spec_k,
+                        max_tokens=params.max_tokens,
+                        single_segment=params.single_segment,
+                        no_timestamps=no_timestamps, dtype=ctx.dtype,
+                        kv_quant=ctx.kv_quant)
+                else:
+                    result = device_loop.decode_window(
+                        ctx.params, hp, consts,
+                        state.cross_k, state.cross_v,
+                        jnp.asarray(prompt_padded), jnp.int32(prompt_len),
+                        jnp.float32(t_cur), jnp.int32(seek), jnp.int32(seek_end),
+                        jax.random.PRNGKey(rng_seed + it),
+                        g_rej_dev,
+                        g_trans_dev,
+                        jnp.float32(params.grammar_penalty) if grammar_dfa else None,
+                        tids=tids,
+                        n_dec=n_dec_cur,
+                        strategy=strat,
+                        beam_size=params.beam_search.beam_size,
+                        max_tokens=params.max_tokens,
+                        single_segment=params.single_segment,
+                        no_timestamps=no_timestamps,
+                        dtype=ctx.dtype,
+                        kv_quant=ctx.kv_quant,
+                    )
+                result = jax.tree_util.tree_map(np.asarray, result)
+                n_steps = int(result.n_tokens)
+                state.timings.add("decode", time.perf_counter() - t0, max(1, n_steps))
+                state.no_speech_prob = float(result.no_speech_prob)
+                if int(getattr(result, "n_rounds", 0)) > 0:
+                    # speculative acceptance observability: tokens/round
+                    r = int(result.n_rounds)
+                    prev = getattr(state, "spec_stats", None) or {"rounds": 0,
+                                                                  "tokens": 0}
+                    state.spec_stats = {"rounds": prev["rounds"] + r,
+                                        "tokens": prev["tokens"] + n_steps}
 
+            # rank + fallback decision — ONE copy for both the host-stepped
+            # and on-device paths (r4 review: the block was duplicated)
             best_idx, best_scores, failed = scoring.rank_decoders(result, params)
             best_result = result
             sc = best_scores[best_idx]
@@ -414,8 +415,12 @@ def run_full(state: WhisperState, params: FullParams, samples: Optional[np.ndarr
 
         if params.abort_callback and params.abort_callback(ctx, state):
             break
-        if params.single_segment:
-            break
+        # NB: no break on single_segment — the reference's window loop keeps
+        # going (the flag only merges each WINDOW into one segment and skips
+        # the timestamp splitter, :7354 + :7594); completion advances seek a
+        # full chunk, so >30 s audio yields one segment per window. The r3
+        # break emitted only the first window's segment, diverging from
+        # run_full_batch and the reference (r4 review).
 
     state.prompt_past = prompt_past
 

@@ -20,16 +20,19 @@ from whisper_tpu.config import SAMPLE_RATE
 
 
 def voice_length(text: str) -> float:
-    """Pronunciation-cost heuristic (reference :8335-8357)."""
+    """Pronunciation-cost heuristic (reference :8335-8357). Iterates UTF-8
+    BYTES like the C++ `for (char c : text)` — per-codepoint iteration
+    shortened multi-byte (accented/CJK) tokens and skewed the proportional
+    interval split (r4 review)."""
     res = 0.0
-    for c in text:
-        if c == " ":
+    for b in text.encode("utf-8", "surrogateescape"):
+        if b == 0x20:                     # ' '
             res += 0.01
-        elif c == ",":
+        elif b == 0x2C:                   # ','
             res += 2.0
-        elif c in ".!?":
+        elif b in (0x2E, 0x21, 0x3F):     # '.' '!' '?'
             res += 3.0
-        elif c.isdigit() and c.isascii():
+        elif 0x30 <= b <= 0x39:           # '0'-'9'
             res += 3.0
         else:
             res += 1.0
