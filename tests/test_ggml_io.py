@@ -208,3 +208,33 @@ def test_gguf_bad_magic(tmp_path):
     import pytest as _pytest
     with _pytest.raises(InvalidModelFormat):
         gguf.read_gguf(str(p))
+
+
+def test_native_cache_invalidated_on_source_change(tmp_path):
+    """A replaced .bin at the same path must not serve stale cached weights
+    (r4 review: no source stamp -> silent stale loads)."""
+    import os
+    import time
+
+    from whisper_tpu.audio.mel import mel_filterbank
+    from whisper_tpu.checkpoint import ggml_io, native_cache
+    from whisper_tpu.checkpoint.init import tiny_test_hparams
+    from whisper_tpu.tokenizer import synthetic_vocab
+
+    hp = tiny_test_hparams()
+    vocab = synthetic_vocab(hp.n_vocab).id_to_token[:50256]
+    path = str(tmp_path / "m.bin")
+    cache = str(tmp_path / "cache")
+
+    ggml_io.write_ggml(path, hp, mel_filterbank(80), vocab,
+                       _make_test_tensors(hp, seed=1))
+    m1 = native_cache.load_model_cached(path, "float32", cache_dir=cache)
+
+    # overwrite with different weights; force a distinct mtime_ns
+    time.sleep(0.01)
+    ggml_io.write_ggml(path, hp, mel_filterbank(80), vocab,
+                       _make_test_tensors(hp, seed=2))
+    m2 = native_cache.load_model_cached(path, "float32", cache_dir=cache)
+    a = np.asarray(m1.params["decoder"]["token_embed"])
+    b = np.asarray(m2.params["decoder"]["token_embed"])
+    assert not np.array_equal(a, b), "stale cache served after source change"

@@ -96,3 +96,33 @@ def test_dft_basis_exact():
     spec = np.fft.rfft(fr)
     np.testing.assert_allclose(fr @ cos_b.astype(np.float64), spec.real, atol=2e-6)
     np.testing.assert_allclose(fr @ sin_b.astype(np.float64), spec.imag, atol=2e-6)
+
+
+def test_frame_counts_c_truncation():
+    """C int division truncates toward zero; sub-200-sample audio exposed
+    the floor-division divergence (r4 review; reference :3223)."""
+    from whisper_tpu.audio.mel import frame_counts
+    assert frame_counts(100)[1] == 1      # C: 1 + trunc(-100/160) = 1
+    assert frame_counts(1)[1] == 0        # C: 1 + trunc(-199/160) = 1 - 1
+    assert frame_counts(199)[1] == 1
+    assert frame_counts(400)[1] == 2
+
+
+def test_bucketed_mel_is_value_exact():
+    """The 30 s compile-shape bucketing must not change a single value vs
+    computing at the exact frame count (r4 review)."""
+    import jax.numpy as jnp
+
+    from whisper_tpu.audio import mel as mel_mod
+
+    rng = np.random.default_rng(3)
+    audio = (0.3 * rng.standard_normal(16000 * 2 + 57)).astype(np.float32)
+    filters = mel_mod.mel_filterbank(80)
+    mel, n_len, _ = mel_mod.log_mel_spectrogram(audio, filters)
+    assert mel.shape[1] == n_len
+
+    exact = mel_mod._log_mel_jit(
+        jnp.asarray(mel_mod.pad_audio(audio)),
+        jnp.asarray(mel_mod.hann_window()), jnp.asarray(filters), n_len,
+        use_dft_matmul=False)
+    np.testing.assert_array_equal(np.asarray(mel), np.asarray(exact))

@@ -246,3 +246,46 @@ def test_server_full_field_surface():
     assert p.no_context is False
     assert p.vad and p.vad_params.threshold == 0.7
     assert p.vad_params.min_speech_duration_ms == 100
+
+
+def test_read_wav_int32_and_24bit_stereo(tmp_path):
+    """r4 review: int32 WAVs below half scale decoded as denormal garbage
+    (a float-PCM heuristic that could only misfire — Python's wave module
+    rejects real float WAVs), and 24/32-bit stereo lost its channel split."""
+    import wave as _wave
+
+    from whisper_tpu.audio.io import _read_wav_channels, read_wav
+
+    t = np.arange(1600, dtype=np.float32) / 16000.0
+    left = 0.25 * np.sin(2 * np.pi * 440 * t)     # peak well under half scale
+    right = 0.10 * np.sin(2 * np.pi * 220 * t)
+
+    # int32 mono
+    p32 = str(tmp_path / "i32.wav")
+    with _wave.open(p32, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(4)
+        w.setframerate(16000)
+        w.writeframes((left * (1 << 31)).astype("<i4").tobytes())
+    got, sr = read_wav(p32)
+    assert sr == 16000
+    np.testing.assert_allclose(got, left, atol=2e-9)
+
+    # 24-bit stereo keeps channels
+    inter = np.empty(2 * len(t), np.float32)
+    inter[0::2], inter[1::2] = left, right
+    vals = (inter * (1 << 23)).astype(np.int32) & 0xFFFFFF
+    b = np.empty((len(inter), 3), np.uint8)
+    b[:, 0] = vals & 0xFF
+    b[:, 1] = (vals >> 8) & 0xFF
+    b[:, 2] = (vals >> 16) & 0xFF
+    p24 = str(tmp_path / "s24.wav")
+    with _wave.open(p24, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(3)
+        w.setframerate(16000)
+        w.writeframes(b.tobytes())
+    chans, sr, n_ch = _read_wav_channels(p24)
+    assert n_ch == 2 and chans.shape == (len(t), 2)
+    np.testing.assert_allclose(chans[:, 0], left, atol=2e-7)
+    np.testing.assert_allclose(chans[:, 1], right, atol=2e-7)

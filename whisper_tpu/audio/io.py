@@ -55,11 +55,37 @@ def resample_linear(samples: np.ndarray, sr_in: int, sr_out: int = SAMPLE_RATE) 
     return np.interp(x_out, np.arange(samples.shape[-1]), samples).astype(np.float32)
 
 
+def _decode_pcm_frames(raw: bytes, sw: int) -> np.ndarray:
+    """Flat f32 samples from raw PCM frame bytes at sample width `sw`.
+
+    Python's `wave` only opens format-1 (integer PCM) files — it raises on
+    IEEE-float WAVs — so 4-byte samples are ALWAYS int32 here. The old
+    float-vs-int32 magnitude heuristic could only misfire: any int32 file
+    whose peak was below ~half scale reinterpreted as tiny finite floats
+    and decoded to denormal near-silence (r4 review). One decoder shared
+    by read_wav and _read_wav_channels so the width handling cannot drift.
+    """
+    if sw == 2:
+        return np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    if sw == 1:
+        return (np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+                - 128.0) / 128.0
+    if sw == 3:
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        vals = (b[:, 0].astype(np.int32) | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int32) << 16))
+        vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+        return vals.astype(np.float32) / float(1 << 23)
+    if sw == 4:
+        return np.frombuffer(raw, dtype="<i4").astype(np.float32) / float(1 << 31)
+    raise ValueError(f"unsupported WAV sample width {sw}")
+
+
 def read_wav(path: str, require_16khz_mono: bool = False) -> Tuple[np.ndarray, int]:
     """Read a PCM WAV file -> (float32 mono samples, sample_rate).
 
-    Handles 8/16/24/32-bit int and 32-bit float PCM; downmixes stereo;
-    optionally enforces the reference examples' strict 16 kHz mono check.
+    Handles 8/16/24/32-bit int PCM; downmixes stereo; optionally enforces
+    the reference examples' strict 16 kHz mono check.
     """
     with wave.open(path, "rb") as w:
         sr = w.getframerate()
@@ -67,26 +93,7 @@ def read_wav(path: str, require_16khz_mono: bool = False) -> Tuple[np.ndarray, i
         sw = w.getsampwidth()
         raw = w.readframes(w.getnframes())
 
-    if sw == 2:
-        data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
-    elif sw == 1:
-        data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
-    elif sw == 3:
-        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
-        vals = (b[:, 0].astype(np.int32) | (b[:, 1].astype(np.int32) << 8)
-                | (b[:, 2].astype(np.int32) << 16))
-        vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
-        data = vals.astype(np.float32) / float(1 << 23)
-    elif sw == 4:
-        # Python's wave gives no format code; heuristically detect float PCM
-        as_f32 = np.frombuffer(raw, dtype="<f4")
-        if np.all(np.isfinite(as_f32)) and np.abs(as_f32).max(initial=0.0) <= 4.0:
-            data = as_f32.astype(np.float32)
-        else:
-            data = np.frombuffer(raw, dtype="<i4").astype(np.float32) / float(1 << 31)
-    else:
-        raise ValueError(f"unsupported WAV sample width {sw}")
-
+    data = _decode_pcm_frames(raw, sw)
     if n_ch > 1:
         data = data.reshape(-1, n_ch).mean(axis=1).astype(np.float32)
 
@@ -110,16 +117,17 @@ def write_wav(path: str, samples: np.ndarray, sr: int = SAMPLE_RATE) -> None:
 
 
 def _read_wav_channels(path: str) -> Tuple[np.ndarray, int, int]:
-    """Raw WAV read keeping channels: (samples[N, C] f32, sr, n_channels)."""
+    """Raw WAV read keeping channels: (samples[N, C] f32, sr, n_channels).
+    All PCM widths keep their channels (the 16-bit-only fast path silently
+    downmixed 24/32-bit stereo, losing diarization's channel split —
+    r4 review; reference read_audio_data keeps both channels for every
+    supported width, examples/common-whisper.cpp:42)."""
     with wave.open(path, "rb") as w:
         sr = w.getframerate()
         n_ch = w.getnchannels()
         sw = w.getsampwidth()
         raw = w.readframes(w.getnframes())
-    if sw != 2:
-        mono, sr2 = read_wav(path)
-        return mono[:, None], sr2, 1
-    data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    data = _decode_pcm_frames(raw, sw)
     return data.reshape(-1, n_ch), sr, n_ch
 
 

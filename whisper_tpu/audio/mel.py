@@ -110,11 +110,14 @@ def pad_audio(samples: np.ndarray) -> np.ndarray:
 
 def frame_counts(n_samples: int) -> Tuple[int, int]:
     """(n_len, n_len_org) — total padded frames vs original-signal frames
-    (reference src/whisper.cpp:3218-3223)."""
+    (reference src/whisper.cpp:3218-3223). C integer division truncates
+    TOWARD ZERO; Python's // floors — they differ when the n_len_org
+    numerator goes negative (audio < 200 samples), so use int(a/b)
+    truncation like the C code (r4 review)."""
     stage_2 = N_FFT // 2
     padded = n_samples + N_SAMPLES_PER_CHUNK + 2 * stage_2
-    n_len = (padded - N_FFT) // HOP_LENGTH
-    n_len_org = 1 + (n_samples + stage_2 - N_FFT) // HOP_LENGTH
+    n_len = (padded - N_FFT) // HOP_LENGTH           # numerator always > 0
+    n_len_org = 1 + int((n_samples + stage_2 - N_FFT) / HOP_LENGTH)
     return n_len, n_len_org
 
 
@@ -163,13 +166,25 @@ def log_mel_spectrogram(
     samples = np.asarray(samples, dtype=np.float32)
     n_len, n_len_org = frame_counts(samples.shape[-1])
     padded = pad_audio(samples)
+    # bucket the STATIC frame count to 30 s granularity so arbitrary-length
+    # inputs don't each compile a fresh XLA program (r4 review: a server
+    # recompiled the whole mel pipeline per unique upload length). The
+    # extra frames read trailing zeros and produce the clamp floor (-10
+    # before normalization), which cannot raise the spectrogram max, so
+    # slicing back to n_len is value-exact.
+    n_len_b = -(-n_len // 3000) * 3000
+    need = (n_len_b - 1) * HOP_LENGTH + N_FFT
+    if need > padded.shape[-1]:
+        padded = np.concatenate(
+            [padded, np.zeros(padded.shape[:-1] + (need - padded.shape[-1],),
+                              np.float32)], axis=-1)
     mel = _log_mel_jit(
         jnp.asarray(padded), jnp.asarray(hann_window()), jnp.asarray(filters),
-        n_len,
+        n_len_b,
         # TPU: matmul-DFT rides the MXU; elsewhere the rFFT is faster
         use_dft_matmul=jax.default_backend() == "tpu",
     )
-    return mel, n_len, n_len_org
+    return mel[:, :n_len], n_len, n_len_org
 
 
 def log_mel_reference(samples: np.ndarray, filters: np.ndarray) -> np.ndarray:

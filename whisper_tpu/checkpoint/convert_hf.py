@@ -124,7 +124,12 @@ def convert_hf_to_ggml(
             ttype = quant.GGML_TYPE_F16
         elif "positional_embedding" in name:
             ttype = quant.GGML_TYPE_F32
-        elif arr.ndim == 2 and min(arr.shape) >= 32 and arr.shape[-1] % 32 == 0:
+        elif (arr.ndim == 2 and min(arr.shape) >= 32
+              and arr.shape[-1] % quant.block_size(ftype) == 0):
+            # rows must divide the codec's block (32 legacy, 256 K-quants:
+            # super-blocks may not straddle rows — the reference loader
+            # asserts ne[0] %% blck_size; r4 review, same gate as
+            # tools/quantize.py)
             ttype = ftype
         else:
             ttype = quant.GGML_TYPE_F16

@@ -29,7 +29,6 @@ _PART_INV = {v: k for k, v in _LAYER_PART.items()}
 
 
 def _hf_name(ggml_name: str):
-    base, _, tail = ggml_name.rpartition(".")   # tail: weight|bias
     if ggml_name in _TOP_INV:
         return _TOP_INV[ggml_name]
     parts = ggml_name.split(".")

@@ -21,6 +21,7 @@ ftype = qnt_version * 1000 + ggml_ftype (reference src/whisper.cpp:1566-1568).
 from __future__ import annotations
 
 import dataclasses
+import os
 import struct
 from typing import Dict, List, Optional, Tuple
 
@@ -76,7 +77,10 @@ def read_ggml(path_or_file, max_tensors: Optional[int] = None) -> GgmlCheckpoint
     whisper_init_from_buffer_with_params, src/whisper.cpp:3680)."""
     from whisper_tpu.errors import InvalidModelFormat
 
-    f = open(path_or_file, "rb") if isinstance(path_or_file, (str, bytes)) else path_or_file
+    if hasattr(path_or_file, "__fspath__"):      # pathlib.Path etc. (r4)
+        path_or_file = os.fspath(path_or_file)
+    is_path = isinstance(path_or_file, (str, bytes))
+    f = open(path_or_file, "rb") if is_path else path_or_file
     try:
         head = f.read(4)
         if len(head) < 4:
@@ -126,6 +130,11 @@ def read_ggml(path_or_file, max_tensors: Optional[int] = None) -> GgmlCheckpoint
             tensors[name] = RawTensor(name=name, ne=tuple(ne), ttype=ttype, data=data)
 
         return GgmlCheckpoint(hp, qnt_version, filters, tokens, tensors)
+    except (struct.error, ValueError, UnicodeDecodeError) as e:
+        # short reads inside a header/section or garbage sizes surface as
+        # raw struct/reshape/decode errors — normalize to the documented
+        # error type so callers' except InvalidModelFormat works (r4)
+        raise InvalidModelFormat(f"invalid model data ({e})") from e
     finally:
         if isinstance(path_or_file, (str, bytes)):
             f.close()

@@ -64,7 +64,6 @@ _KEEPQ_TYPES = (quant.GGML_TYPE_Q4_0, quant.GGML_TYPE_Q4_1,
                 quant.GGML_TYPE_Q5_0, quant.GGML_TYPE_Q5_1,
                 quant.GGML_TYPE_Q8_0) + quant.K_QUANT_TYPES
 # backwards-compat alias (pre-K-quant name)
-_SYMMETRIC_QTYPES = _KEEPQ_TYPES
 
 
 def _linear(t, prefix: str, has_bias: bool = True,

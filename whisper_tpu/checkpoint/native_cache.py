@@ -25,7 +25,19 @@ from whisper_tpu.config import WhisperHParams
 from whisper_tpu.tokenizer import WhisperVocab
 
 
-def save_native(model: LoadedModel, cache_dir: str) -> None:
+def _source_stamp(path: str) -> Optional[dict]:
+    """Identity of the source .bin: size + mtime_ns. A replaced or
+    re-quantized checkpoint at the same path must invalidate the cache
+    (r4 review: stale weights served silently otherwise)."""
+    try:
+        st = os.stat(path)
+        return {"size": st.st_size, "mtime_ns": st.st_mtime_ns}
+    except OSError:
+        return None
+
+
+def save_native(model: LoadedModel, cache_dir: str,
+                source_path: Optional[str] = None) -> None:
     import orbax.checkpoint as ocp
 
     os.makedirs(cache_dir, exist_ok=True)
@@ -36,6 +48,8 @@ def save_native(model: LoadedModel, cache_dir: str) -> None:
         "vocab": [base64.b64encode(t).decode("ascii")
                   for t in model.vocab.id_to_token[: min(model.hparams.n_vocab, 50364)]],
     }
+    if source_path is not None:
+        meta["source"] = _source_stamp(source_path)
     with open(os.path.join(cache_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
     model.mel_filters.astype(np.float32).tofile(
@@ -46,8 +60,10 @@ def save_native(model: LoadedModel, cache_dir: str) -> None:
     ckptr.wait_until_finished()
 
 
-def load_native(cache_dir: str) -> Optional[LoadedModel]:
-    """Restore a cached model; None if the cache is absent/incomplete."""
+def load_native(cache_dir: str,
+                source_path: Optional[str] = None) -> Optional[LoadedModel]:
+    """Restore a cached model; None if the cache is absent/incomplete or
+    (when source_path is given) stale vs the source .bin."""
     meta_path = os.path.join(cache_dir, "meta.json")
     filters_path = os.path.join(cache_dir, "mel_filters.f32")
     params_path = os.path.abspath(os.path.join(cache_dir, "params"))
@@ -58,6 +74,11 @@ def load_native(cache_dir: str) -> Optional[LoadedModel]:
 
     with open(meta_path) as f:
         meta = json.load(f)
+    if source_path is not None:
+        # caches written before the stamp existed (no "source" key) are
+        # treated as stale too — re-converting once is cheap and safe
+        if meta.get("source") != _source_stamp(source_path):
+            return None
     hp = WhisperHParams(**meta["hparams"])
     filters = np.fromfile(filters_path,
                           dtype=np.float32).reshape(meta["mel_filters_shape"])
@@ -79,13 +100,13 @@ def load_model_cached(path: str, compute_dtype: str = "bfloat16",
     if cache_dir is None:
         cache_dir = path + f".native-{compute_dtype}" + \
             ("-q" if keep_quantized else "")
-    cached = load_native(cache_dir)
+    cached = load_native(cache_dir, source_path=path)
     if cached is not None:
         return cached
     model = load_model(path, compute_dtype, keep_quantized)
     if model.params:
         try:
-            save_native(model, cache_dir)
+            save_native(model, cache_dir, source_path=path)
         except Exception:
             pass  # cache is best-effort
     return model
