@@ -213,9 +213,14 @@ def test_multipart_binary_payload_preserved():
 
 
 def test_server_word_thold_sets_thold_pt():
+    """word_thold only sets thold_pt; token_timestamps comes from
+    response_format=verbose_json in the handler, and max_len defaults to
+    60 like reference server.cpp:899/:919 (r4)."""
     from whisper_tpu.serving.server import _params_from_fields
     p = _params_from_fields({"word_thold": b"0.5"})
-    assert p.token_timestamps and p.thold_pt == 0.5
+    assert p.thold_pt == 0.5
+    assert p.max_len == 60                  # reference default when absent
+    assert not p.no_context                 # reference default (:106)
 
 
 def test_srt_offset_n(segs):
@@ -289,3 +294,16 @@ def test_read_wav_int32_and_24bit_stereo(tmp_path):
     assert n_ch == 2 and chans.shape == (len(t), 2)
     np.testing.assert_allclose(chans[:, 0], left, atol=2e-7)
     np.testing.assert_allclose(chans[:, 1], right, atol=2e-7)
+
+
+def test_multipart_filename_before_name():
+    """RFC 7578 does not order the Content-Disposition parameters: a part
+    with filename before name must still be keyed by its NAME (r4 review:
+    the unanchored regex grabbed the filename)."""
+    from whisper_tpu.serving.server import _parse_multipart
+    body = (b"--B\r\n"
+            b'Content-Disposition: form-data; filename="a.wav"; name="file"\r\n'
+            b"\r\npayload\r\n"
+            b"--B--\r\n")
+    fields = _parse_multipart(body, 'multipart/form-data; boundary="B"')
+    assert fields == {"file": b"payload"}

@@ -209,8 +209,11 @@ def vad_probs_jit(params, hp: VadHParams, chunks: jax.Array) -> jax.Array:
 
     basis = jnp.asarray(params["_model.stft.forward_basis_buffer"])  # (258,1,256)
     x = padded[:, :, None]                                     # (N, 640, 1)
+    # STFT hop = n_window/4 (128 for Silero v5). It numerically equals
+    # lstm_input_size for the shipped models, but the two are unrelated
+    # header fields — derive the hop from the window (r4 review)
     stft = _conv1d_nwc(x, basis, jnp.zeros(258, jnp.float32),
-                       stride=hp.lstm_input_size, padding=0)   # (N, 4, 258)
+                       stride=hp.n_window // 4, padding=0)     # (N, 4, 258)
     cutoff = basis.shape[0] // 2
     mag = jnp.sqrt(stft[..., :cutoff] ** 2 + stft[..., cutoff:2 * cutoff] ** 2)
 
@@ -264,7 +267,10 @@ def detect_speech(model: VadModel, samples: np.ndarray) -> np.ndarray:
     buf[:n] = samples
     chunks = buf.reshape(n_chunks, hp.n_window)
 
-    key = id(model)
+    # keyed by ARCHITECTURE (weights are call arguments): id(model) keys
+    # could alias a garbage-collected model's closure after CPython reuses
+    # the address, and grew one compiled program per model object (r4)
+    key = tuple(sorted(hp.__dict__.items()))
     fn = _vad_jit_cache.get(key)
     if fn is None:
         import functools
@@ -304,8 +310,11 @@ def segments_from_probs(
     if params.max_speech_duration_s > 100000.0:
         max_speech_samples = 2**31 // 2
     else:
-        max_speech_samples = int(sr * params.max_speech_duration_s
-                                 - n_window - 2 * speech_pad_samples)
+        # the reference truncates the FLOAT duration to int64 seconds
+        # BEFORE multiplying (whisper.cpp:5229): (int64_t)(1.5) == 1 —
+        # fractional durations must split where the reference splits (r4)
+        max_speech_samples = (sr * int(params.max_speech_duration_s)
+                              - n_window - 2 * speech_pad_samples)
         if max_speech_samples < 0:
             max_speech_samples = 2**31 // 2
     min_silence_at_max = sr * 98 // 1000

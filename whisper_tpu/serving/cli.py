@@ -123,7 +123,9 @@ def params_from_args(args) -> "FullParams":
     p.duration_ms = args.duration
     if args.max_context >= 0:
         p.n_max_text_ctx = args.max_context
-    p.max_len = args.max_len
+    # -owts without -ml: 60-char karaoke lines (cli.cpp:1169; r4)
+    p.max_len = (60 if args.output_words and args.max_len == 0
+                 else args.max_len)
     p.split_on_word = args.split_on_word
     p.greedy = GreedyParams(best_of=args.best_of)
     if args.beam_size > 1:
@@ -144,7 +146,9 @@ def params_from_args(args) -> "FullParams":
     p.print_special = args.print_special
     p.print_progress = args.print_progress
     p.no_timestamps = args.no_timestamps
-    p.token_timestamps = args.output_words or args.max_len > 0
+    # full-JSON also carries per-token timing (cli.cpp:1167; r4)
+    p.token_timestamps = (args.output_words or args.output_json_full
+                          or args.max_len > 0)
     p.suppress_nst = args.suppress_nst
     p.suppress_regex = args.suppress_regex
     if args.grammar:

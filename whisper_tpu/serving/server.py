@@ -56,6 +56,10 @@ def _params_key(p: FullParams) -> tuple:
         p.duration_ms, p.split_on_word, p.suppress_blank, p.suppress_nst,
         p.length_penalty, p.entropy_thold, p.logprob_thold,
         p.no_speech_thold, p.n_max_text_ctx, p.no_context, p.audio_ctx,
+        # r4 review: these were missing, letting semantically different
+        # requests share one batched decode (first request's params win)
+        p.detect_language, p.tdrz_enable, p.thold_pt, p.thold_ptsum,
+        p.debug_mode,
     )
 
 
@@ -165,7 +169,9 @@ def _parse_multipart(body: bytes, content_type: str) -> Dict[str, bytes]:
         head = head.strip(b"\r\n")
         if data.endswith(b"\r\n"):
             data = data[:-2]
-        nm = re.search(rb'name="([^"]+)"', head)
+        # anchored: `filename="x"` must not satisfy the name lookup
+        # (header parameter order is unconstrained — r4 review)
+        nm = re.search(rb'(?:^|;\s*)name="([^"]+)"', head, re.M)
         if nm:
             fields[nm.group(1).decode()] = data
     return fields
@@ -195,10 +201,13 @@ def _params_from_fields(fields: Dict[str, bytes]) -> FullParams:
     p.no_timestamps = get("no_timestamps", "false") in ("true", "1")
     p.initial_prompt = get("prompt")
     wt_ = get("word_thold", None, float)
-    p.token_timestamps = wt_ is not None
     if wt_ is not None:
         p.thold_pt = wt_     # reference server.cpp copies it into thold_pt
+    # reference default: max_len 60 when the field is 0/absent (:899);
+    # token_timestamps is decided by the handler from response_format
     p.max_len = get("max_len", 0, int)
+    if p.max_len == 0:
+        p.max_len = 60
     # remaining reference fields (server.cpp:470-598)
     p.greedy.best_of = get("best_of", p.greedy.best_of, int)
     p.n_max_text_ctx = get("max_context", p.n_max_text_ctx, int)
@@ -211,7 +220,8 @@ def _params_from_fields(fields: Dict[str, bytes]) -> FullParams:
     p.detect_language = get("detect_language", "false") in ("true", "1")
     p.suppress_nst = (get("suppress_nst", "false") in ("true", "1")
                       or get("suppress_non_speech", "false") in ("true", "1"))
-    p.no_context = get("no_context", "true") in ("true", "1")
+    # reference default false (:106): cross-window conditioning ON
+    p.no_context = get("no_context", "false") in ("true", "1")
     p.vad = get("vad", "false") in ("true", "1")
     p.vad_model_path = get("vad_model")
     p.vad_params.threshold = get("vad_threshold", p.vad_params.threshold, float)
@@ -278,6 +288,9 @@ def make_handler(server_state: ServerState):
                     os.unlink(tmp)
                 params = _params_from_fields(fields)
                 fmt = fields.get("response_format", b"json").decode()
+                # verbose_json carries token timings (server.cpp:919)
+                params.token_timestamps = (not params.no_timestamps
+                                           and fmt == "verbose_json")
 
                 if server_state.dispatcher is not None and not params.vad:
                     # continuous batching: coalesce with concurrent requests

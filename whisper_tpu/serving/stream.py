@@ -19,19 +19,40 @@ from whisper_tpu.config import FullParams, SAMPLE_RATE
 
 
 def high_pass_filter(data: np.ndarray, cutoff: float, sample_rate: int) -> np.ndarray:
-    """One-pole high-pass (reference common.cpp high_pass_filter)."""
+    """One-pole high-pass (reference common.cpp high_pass_filter).
+
+    y[i] = alpha*(y[i-1] + x[i] - x[i-1]) — an IIR with transfer
+    H(z) = alpha*(1 - z^-1) / (1 - alpha*z^-1), evaluated via
+    scipy.signal.lfilter when available: the interpreted per-sample loop
+    cost tens of ms per 2 s VAD poll on the stream/command hot path (r4
+    review). The loop fallback keeps the module dependency-free."""
     rc = 1.0 / (2.0 * np.pi * cutoff)
     dt = 1.0 / sample_rate
     alpha = dt / (rc + dt)
-    out = np.empty_like(data)
     if len(data) == 0:
+        return np.empty_like(data)
+    try:
+        from scipy.signal import lfilter
+    except ImportError:
+        out = np.empty_like(data)
+        y = data[0]
+        out[0] = y
+        for i in range(1, len(data)):
+            y = alpha * (y + data[i] - data[i - 1])
+            out[i] = y
         return out
-    y = data[0]
-    out[0] = y
-    for i in range(1, len(data)):
-        y = alpha * (y + data[i] - data[i - 1])
-        out[i] = y
-    return out
+    # first output is x[0] by construction; feed the recurrence from i=1
+    # with initial condition y[0] = x[0]
+    x = np.asarray(data, np.float64)
+    b = np.array([alpha, -alpha])
+    a = np.array([1.0, -alpha])
+    # DFII-transposed state after emitting y[0] = x[0]:
+    # z = b1*x[0] - a1*y[0] = -alpha*x[0] + alpha*x[0] = 0
+    out = np.empty_like(x)
+    out[0] = x[0]
+    if len(x) > 1:
+        out[1:], _ = lfilter(b, a, x[1:], zi=np.zeros(1))
+    return out.astype(data.dtype)
 
 
 def vad_simple(pcmf32: np.ndarray, sample_rate: int, last_ms: int,
@@ -135,7 +156,11 @@ class StreamTranscriber:
 
         while len(self.buffer) >= self.n_step:
             chunk, self.buffer = self.buffer[: self.n_step], self.buffer[self.n_step:]
-            take_old = min(len(self.pcm_old), self.n_len - len(chunk))
+            # reference window budget is keep + length - new (stream.cpp:273)
+            # — dropping n_keep clipped the committed-line overlap one step
+            # early (r4 review)
+            take_old = min(len(self.pcm_old),
+                           max(0, self.n_keep + self.n_len - len(chunk)))
             window = np.concatenate([self.pcm_old[-take_old:] if take_old else
                                      np.zeros(0, np.float32), chunk])
             text = self._transcribe(window)

@@ -91,7 +91,17 @@ def install_logging_hooks() -> None:
             return
         _installed = True
 
+        state = {"last": logging.INFO}
+
         def hook(level: LogLevel, msg: str) -> None:
-            logger.log(_PY_LEVELS.get(level, logging.INFO), msg.rstrip("\n"))
+            # CONT continues the PREVIOUS message's level (the Rust hook
+            # does the same, whisper_logging_hook.rs:45-52); mapping it to
+            # INFO split multi-part ERROR messages across levels (r4)
+            if level == LogLevel.CONT:
+                py = state["last"]
+            else:
+                py = _PY_LEVELS.get(level, logging.INFO)
+                state["last"] = py
+            logger.log(py, msg.rstrip("\n"))
 
         log_set(hook)
