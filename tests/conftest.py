@@ -5,6 +5,10 @@ dry-runs the multi-chip path; bench.py uses the real chip)."""
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # force CPU even if the env pins a TPU platform
+# tests never benefit from the persistent XLA cache (CPU compiles are
+# seconds) and stale cross-machine entries can SIGSEGV on load (r4) —
+# keep the suite hermetic
+os.environ.setdefault("WHISPER_TPU_NO_COMPILE_CACHE", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -156,3 +156,19 @@ def test_earnings21_runner(tmp_path, jfk_like_audio, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert out.startswith("WER:") and "(1 files)" in out
+
+
+def test_edit_distance_matches_backtrace_dp():
+    """The vectorized two-row distance must equal S+D+I from the full
+    backtracing DP on random word sequences (r4: wer() switched to it)."""
+    import random
+
+    from whisper_tpu.eval.wer import _edit_distance, _edit_ops
+
+    rng = random.Random(7)
+    vocab = list("abcdefg")
+    for _ in range(200):
+        r = [rng.choice(vocab) for _ in range(rng.randint(0, 12))]
+        h = [rng.choice(vocab) for _ in range(rng.randint(0, 12))]
+        S, D, I = _edit_ops(r, h)
+        assert _edit_distance(r, h) == S + D + I, (r, h)

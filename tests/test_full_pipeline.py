@@ -309,3 +309,17 @@ def test_single_segment_advances_all_windows(ctx):
     assert len(texts) >= 2, texts          # 65 s = 3 windows, not 1 segment
     batch = ctx.full_batch(p, [audio])[0]
     assert texts == [s.text for s in batch]
+
+
+def test_use_gpu_false_pins_weights_to_cpu():
+    """ContextParams.use_gpu was accepted but ignored (r4 review): with
+    use_gpu=False the weights (and so every jit consuming them) must sit
+    on the CPU backend and exec_backend must say so."""
+    import jax
+
+    ctx2 = wt.WhisperContext.random(
+        hp=tiny_test_hparams(),
+        params=ContextParams(dtype="float32", use_gpu=False), seed=1)
+    assert ctx2.exec_backend == "cpu"
+    leaf = jax.tree_util.tree_leaves(ctx2.params)[0]
+    assert list(leaf.devices())[0].platform == "cpu"

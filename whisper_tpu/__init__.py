@@ -28,8 +28,29 @@ import os as _os
 if not _os.environ.get("WHISPER_TPU_NO_COMPILE_CACHE"):
     import jax as _jax
 
+    def _machine_tag() -> str:
+        """CPU-feature fingerprint for the default cache path: XLA:CPU AOT
+        executables embed target features (avx512 prefer-no-gather etc.),
+        and loading an executable cached by a machine with different
+        features SIGILLs/segfaults (r4: observed as rc=139 in the test
+        suite after a host change). Scoping the directory per feature-set
+        makes stale cross-machine entries unreachable."""
+        import hashlib
+        import platform
+        tag = platform.machine()
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("flags"):
+                        tag += hashlib.sha1(line.encode()).hexdigest()[:8]
+                        break
+        except OSError:
+            pass
+        return tag
+
     _cache_dir = _os.environ.get(
-        "WHISPER_TPU_COMPILE_CACHE", _os.path.expanduser("~/.cache/whisper_tpu_xla"))
+        "WHISPER_TPU_COMPILE_CACHE",
+        _os.path.expanduser("~/.cache/whisper_tpu_xla-" + _machine_tag()))
     try:
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

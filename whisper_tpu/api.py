@@ -74,8 +74,25 @@ class WhisperContext:
         self.dtype = jnp.bfloat16 if self.cparams.dtype == "bfloat16" else jnp.float32
         # int8 self-KV cache (ContextParams.kv_dtype): halves cache HBM
         self.kv_quant = self.cparams.kv_dtype == "int8"
-        # upload weights once; jax caches device placement
-        self.params = jax.tree_util.tree_map(jnp.asarray, model.params) if model.params else {}
+        # upload weights once; jax caches device placement. use_gpu=False
+        # pins them (and therefore every jit that consumes them — committed
+        # operands drive placement) to the CPU backend; gpu_device selects
+        # the accelerator index (reference whisper_context_params.use_gpu/
+        # gpu_device — these were accepted but silently ignored, r4 review)
+        self._device = None
+        if not self.cparams.use_gpu:
+            self._device = jax.devices("cpu")[0]
+        elif self.cparams.gpu_device:
+            devs = jax.devices()
+            if self.cparams.gpu_device < len(devs):
+                self._device = devs[self.cparams.gpu_device]
+        if model.params and self._device is not None:
+            self.params = jax.tree_util.tree_map(
+                lambda x: jax.device_put(jnp.asarray(x), self._device),
+                model.params)
+        else:
+            self.params = (jax.tree_util.tree_map(jnp.asarray, model.params)
+                           if model.params else {})
         # cpu_twin() needs a HOST weight copy (reading weights back from the
         # device is impossible on D2H-less TPU serving relays). Holding the
         # loader's numpy pytree would pin ~2 GB of host RAM at large-v3 for
@@ -117,12 +134,21 @@ class WhisperContext:
     def from_buffer(cls, buf, params: Optional[ContextParams] = None) -> "WhisperContext":
         """reference whisper_init_from_buffer_with_params (src/whisper.cpp:3680)."""
         import io
+        from whisper_tpu.errors import InitError, WhisperError
         cp = params or ContextParams()
-        ckpt = loader_mod.ggml_io.read_ggml(io.BytesIO(buf))
+        try:
+            ckpt = loader_mod.ggml_io.read_ggml(io.BytesIO(buf))
+            model = loader_mod.params_from_checkpoint(
+                ckpt, cp.dtype, cp.keep_quantized)
+        except WhisperError:
+            raise
+        except (OSError, ValueError, EOFError) as e:
+            # same error contract as new_with_params (reference returns
+            # nullptr from whisper_init_from_buffer_with_params; r4 review)
+            raise InitError(f"failed to load model from buffer: {e}") from e
         # the caller owns `buf` already; re-parsing it on twin demand costs
         # no extra resident memory beyond that existing buffer
-        return cls(loader_mod.params_from_checkpoint(
-                       ckpt, cp.dtype, cp.keep_quantized), params,
+        return cls(model, params,
                    host_params_rebuild=lambda: loader_mod.params_from_checkpoint(
                        loader_mod.ggml_io.read_ggml(io.BytesIO(buf)),
                        cp.dtype, cp.keep_quantized).params)
@@ -187,6 +213,8 @@ class WhisperContext:
         TPU-only paths like the Pallas flash-attention kernel."""
         if getattr(self, "_cpu_twin", None) is self:
             return "cpu"
+        if getattr(self, "_device", None) is not None:
+            return self._device.platform
         return jax.default_backend()
 
     def cpu_twin(self) -> "WhisperContext":
@@ -245,6 +273,11 @@ class WhisperContext:
                     f"(max err {err:.3g}); falling back to XLA attention")
                 self.cparams = dataclasses.replace(self.cparams,
                                                    flash_attn=False)
+                if self.draft is not None:
+                    # the draft encoder gates on ITS OWN cparams — the bad
+                    # kernel must be disabled there too (r4 review)
+                    self.draft.cparams = dataclasses.replace(
+                        self.draft.cparams, flash_attn=False)
 
         base = dataclasses.replace(params) if params is not None else FullParams.default()
         base.print_progress = False
@@ -353,16 +386,20 @@ class WhisperState:
 
     def set_mel(self, mel: np.ndarray, n_len_org: Optional[int] = None) -> None:
         """reference whisper_set_mel_with_state (src/whisper.cpp:4005-4035)."""
+        # validate BEFORE touching state (the reference whisper_set_mel
+        # returns -1 leaving state untouched; storing _mel_host first left
+        # a rejected mel for the CPU-twin reroute to pick up — r4 review)
+        mel_host = np.asarray(mel)
+        if mel_host.shape[0] != self.ctx.hparams.n_mels:
+            raise ValueError(f"invalid n_mels {mel_host.shape[0]}")
         # keep the caller's host copy: the CPU-twin reroute (decoding/loop.py)
         # must hand the mel to the twin, and reading a device array back is
         # impossible on D2H-less relays
-        self._mel_host = np.asarray(mel)
-        mel = jnp.asarray(mel)
-        if mel.shape[0] != self.ctx.hparams.n_mels:
-            raise ValueError(f"invalid n_mels {mel.shape[0]}")
-        self.mel = mel
-        self.n_len = mel.shape[1]
-        self.n_len_org = n_len_org if n_len_org is not None else mel.shape[1]
+        self._mel_host = mel_host
+        self.mel = jnp.asarray(mel_host)
+        self.n_len = mel_host.shape[1]
+        self.n_len_org = (n_len_org if n_len_org is not None
+                          else mel_host.shape[1])
         # new audio: any draft mel/cross-KV from earlier samples is stale
         self.draft_mel = None
         self.draft_cross_k = self.draft_cross_v = None
@@ -563,7 +600,6 @@ class WhisperState:
         offset_samples = (cfg.SAMPLE_RATE * params.offset_ms) // 1000
         n_per = (len(samples) - offset_samples) // n_processors
 
-        import copy
         pc = copy.copy(params)
         pc.offset_ms = 0
         pc.print_progress = False
@@ -577,8 +613,14 @@ class WhisperState:
             chunks.append(np.asarray(samples[start:end], np.float32))
 
         from whisper_tpu.decoding.batch_full import run_full_batch
+        lang_sink: list = []
         per_chunk = run_full_batch(self.ctx, pc, chunks,
-                                   timings_sink=self.timings)
+                                   timings_sink=self.timings,
+                                   lang_sink=lang_sink)
+        if lang_sink:
+            # reference: chunk 0 runs on ctx->state, so full_lang_id()
+            # reflects its detection (src/whisper.cpp:7875; r4 review)
+            self.lang_id = lang_sink[0]
 
         # merge with timestamp offset + overlap clamp (:7812-7846)
         offset_t = params.offset_ms // 10

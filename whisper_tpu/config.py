@@ -311,12 +311,10 @@ class FullParams:
 
     @classmethod
     def default(cls, strategy: SamplingStrategy = SamplingStrategy.GREEDY) -> "FullParams":
-        p = cls(strategy=strategy)
-        if strategy == SamplingStrategy.GREEDY:
-            p.greedy = GreedyParams(best_of=5)
-        else:
-            p.beam_search = BeamSearchParams(beam_size=5, patience=-1.0)
-        return p
+        # the field defaults already match the reference defaults for BOTH
+        # strategies (best_of=5; beam_size=5, patience=-1 —
+        # src/whisper.cpp:5991-6000); no strategy-dependent overrides exist
+        return cls(strategy=strategy)
 
     @property
     def n_decoders(self) -> int:

@@ -18,7 +18,7 @@ DFA-compilable grammars ride along as per-row table gathers.
 from __future__ import annotations
 
 import time
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -50,6 +50,7 @@ def run_full_batch(
     audios: Sequence[np.ndarray],
     mesh=None,
     timings_sink=None,
+    lang_sink: Optional[List[int]] = None,
 ) -> List[List[Segment]]:
     hp = ctx.hparams
     vocab = ctx.vocab
@@ -143,6 +144,8 @@ def run_full_batch(
                 lid = languages.lang_id(language)
             lang_ids[b] = lid
             states[b].lang_id = int(lid)
+    if lang_sink is not None:
+        lang_sink.extend(int(l) for l in lang_ids)
     if params.detect_language:
         return results
 

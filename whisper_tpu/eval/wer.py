@@ -11,6 +11,8 @@ from __future__ import annotations
 
 from typing import Iterable, Sequence, Tuple
 
+import numpy as np
+
 from whisper_tpu.eval.normalizer import (  # noqa: F401  (re-exported API)
     BasicTextNormalizer,
     EnglishTextNormalizer,
@@ -66,17 +68,47 @@ def _edit_ops(ref: Sequence[str], hyp: Sequence[str]) -> Tuple[int, int, int]:
     return S, D, I
 
 
+def _edit_distance(ref: Sequence[str], hyp: Sequence[str]) -> int:
+    """Levenshtein distance via a vectorized two-row DP. The corpus metric
+    only needs S+D+I (= the distance): the backtracing O(n*m) matrix of
+    _edit_ops cost ~1 GB and minutes per hour-long Earnings21 transcript
+    (r4 review). The left-to-right insertion dependency is resolved with
+    the min-accumulate identity cur[j] = min_{k<=j}(cand[k] + (j-k))."""
+    n, m = len(ref), len(hyp)
+    if m == 0:
+        return n
+    if n == 0:
+        return m
+    hyp_arr = np.array(hyp, dtype=object)
+    prev = np.arange(m + 1, dtype=np.int32)
+    idx = np.arange(m + 1, dtype=np.int32)
+    for i in range(1, n + 1):
+        sub = prev[:-1] + (hyp_arr != ref[i - 1])
+        dele = prev[1:] + 1
+        cand = np.empty(m + 1, np.int32)
+        cand[0] = i
+        cand[1:] = np.minimum(sub, dele)
+        prev = np.minimum.accumulate(cand - idx) + idx
+    return int(prev[m])
+
+
 def wer(references: Iterable[str], hypotheses: Iterable[str],
         normalize: bool = False) -> float:
-    """Corpus WER = (S+D+I) / total reference words (jiwer semantics)."""
+    """Corpus WER = (S+D+I) / total reference words (jiwer semantics).
+
+    NB on defaults: like jiwer.wer, this scores the texts AS GIVEN
+    (normalize=False) — the reference protocol normalizes both sides
+    BEFORE scoring (eval.py:30-44), which eval/librispeech.py and
+    eval/earnings21.py do via normalize=True. wer_details defaults to
+    normalize=True because its consumer (voice-command matching,
+    serving/command.py) always wants canonicalized text."""
     norm = _default_normalizer() if normalize else (lambda x: x)
     total_err = 0
     total_ref = 0
     for ref, hyp in zip(references, hypotheses):
         r = norm(ref).split()
         h = norm(hyp).split()
-        S, D, I = _edit_ops(r, h)
-        total_err += S + D + I
+        total_err += _edit_distance(r, h)
         total_ref += len(r)
     return total_err / max(1, total_ref)
 
