@@ -30,6 +30,21 @@ sys.path.insert(0, str(pathlib.Path(__file__).parent))
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_xla_executable_memory():
+    """Drop compiled XLA executables after each test module. A full-suite
+    process accumulates hundreds of CPU executables; under memory/CPU
+    pressure the XLA:CPU compiler has been observed to segfault late in
+    such runs (r4, rc=139 twice in contended full-suite runs; every
+    per-module run of the same tests passes). Bounding live executables
+    to one module's worth removes the pressure; recompiles are seconds
+    on these micro models."""
+    yield
+    import jax
+
+    jax.clear_caches()
+
 # (the donated-buffer warning filter lives in pyproject.toml
 # [tool.pytest.ini_options].filterwarnings — a module-level
 # warnings.filterwarnings here is undone by pytest's per-test contexts)

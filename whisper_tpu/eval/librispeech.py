@@ -65,20 +65,8 @@ def main(argv=None) -> int:
         print("no audio found (convert .flac to .wav first)", file=sys.stderr)
         return 1
 
-    cp = None
-    if args.draft_model and args.beam_size > 1:
-        print("warning: --draft-model ignored (speculative decoding "
-              "is greedy-only)", file=sys.stderr)
-        args.draft_model = None
-    if args.draft_model:
-        from whisper_tpu.config import ContextParams
-        cp = ContextParams(draft_model=args.draft_model)
-    ctx = WhisperContext.new_with_params(args.model, cp)
-    p = FullParams.default(SamplingStrategy.BEAM_SEARCH if args.beam_size > 1
-                           else SamplingStrategy.GREEDY)
-    if args.beam_size > 1:
-        p.beam_search.beam_size = args.beam_size
-    p.print_progress = False
+    from whisper_tpu.eval.common import build_eval_context
+    ctx, p = build_eval_context(args)
 
     hyps, used_refs = [], []
     for i, path in enumerate(files):
