@@ -128,8 +128,12 @@ def analytic_roofline() -> dict:
     for preset, (d, Le, Ld) in PRESET_DIMS.items():
         enc_flops = Le * (24 * T * d * d + 4 * T * T * d)
         enc_sol = enc_flops / (V5E_PEAK_TFLOPS * 1e12) * 1e3          # ms
-        # decode: every token reads weights + cross-KV + self-KV (bf16)
-        w_b = (16 * Ld * d * d + V * d) * 2
+        # decode: every token reads the PER-TOKEN weight set (4 self-attn
+        # + 8 MLP + cross_q/cross_out = 14 L d^2; the cross K/V projection
+        # weights are read once per WINDOW in cross_attention_kv, not per
+        # token — r4 review, consistent with pp_flops below) + cross-KV +
+        # self-KV (bf16)
+        w_b = (14 * Ld * d * d + V * d) * 2
         ck_b = 2 * Ld * T * d * 2
         sk_b = 2 * Ld * SK_T * d * 2
         dec_sol = (w_b + ck_b + sk_b) / (V5E_HBM_GBPS * 1e9) * 1e3    # ms/tok
@@ -148,7 +152,7 @@ def analytic_roofline() -> dict:
         # bytes drop accordingly. Only meaningful where a distil draft
         # exists (large-v3 family).
         k_spec, m_bar = 8, 4.0
-        wd_b = (16 * 2 * d * d + V * d) * 2
+        wd_b = (14 * 2 * d * d + V * d) * 2
         spec_gb_round = (w_b + ck_b + sk_b) + k_spec * (wd_b + ck_b * 2 / Ld)
         spec_sol = spec_gb_round / m_bar / (V5E_HBM_GBPS * 1e9) * 1e3
 
@@ -291,28 +295,8 @@ def largev3_beam5_compile_check() -> dict:
     # quantized serving path: same beam-5 window program with int8-block
     # weights resident in HBM + the Pallas dequant-in-kernel matmul
     # (ops/quant_matmul.py) — proves the kernel compiles at large-v3 dims
-    def quantize_leaf(d):
-        """matmul-weight leaf {'w': (in,out)} -> {'q': int8, 'd': scales}"""
-        if not (isinstance(d, dict) and "w" in d):
-            return d
-        out_d = dict(d)
-        w = out_d.pop("w")
-        if len(w.shape) >= 2 and w.shape[-2] % 32 == 0 and w.shape[-1] >= 64:
-            out_d["q"] = jax.ShapeDtypeStruct(w.shape, jnp.int8)
-            out_d["d"] = jax.ShapeDtypeStruct(
-                w.shape[:-2] + (w.shape[-2] // 32, w.shape[-1]), jnp.float32)
-        else:
-            out_d["w"] = w
-        return out_d
-
-    def walk(tree):
-        if isinstance(tree, dict):
-            if "w" in tree:
-                return quantize_leaf(tree)
-            return {k: walk(v) for k, v in tree.items()}
-        return tree
-
-    q_params = walk(abs_params)
+    from whisper_tpu.checkpoint.quant import abstract_int8_block_shapes
+    q_params = abstract_int8_block_shapes(abs_params)
     t0 = _t.perf_counter()
     qdec = device_loop.decode_window.lower(
         q_params, hp, consts, ck, ck,
@@ -416,8 +400,8 @@ def batch_capacity_check() -> dict:
     # analytic_roofline; decode HBM-bound at 70%, encode MXU-bound at 50%)
     d = hp.n_text_state
     T, V, SK_T = hp.n_audio_ctx, hp.n_vocab, 512
-    w_bf16 = (16 * L * d * d + V * d) * 2
-    w_q5 = (16 * L * d * d + V * d) * 1.125     # int8 + f32/32 scales
+    w_bf16 = (14 * L * d * d + V * d) * 2       # per-token weight set
+    w_q5 = (14 * L * d * d + V * d) * 1.125     # int8 + f32/32 scales
     ck_bf16 = 2 * L * T * d * 2                 # cross-KV bytes per utt
     sk_bf16 = 2 * L * SK_T * d * 2              # self-KV bytes per row
     # int8 caches: 1 byte/elem + 4-byte scale per Dh lane (models/whisper.py)

@@ -35,6 +35,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
+    _src = os.path.join(os.path.dirname(_SO), "runtime.cpp")
+    stale = (os.path.exists(_SO) and os.path.exists(_src)
+             and os.path.getmtime(_src) > os.path.getmtime(_SO))
+    if stale:
+        # rebuild-on-edit: a build-only-when-missing rule left parity
+        # tests validating a stale binary after runtime.cpp changes (r4)
+        try:
+            os.unlink(_SO)
+        except OSError:
+            pass
     if not os.path.exists(_SO) and not _build():
         return None
     try:
@@ -71,6 +81,15 @@ def dequantize(ttype: int, raw: bytes, nelems: int,
         n_threads = min(8, os.cpu_count() or 1)
     out = np.empty(nelems, np.float32)
     buf = np.frombuffer(raw, np.uint8) if isinstance(raw, (bytes, bytearray)) else raw
+    # size guard: the C side trusts nelems and would over-read a short
+    # buffer (r4 review); undersized input degrades to the numpy path
+    from whisper_tpu.checkpoint import quant as _quant
+    try:
+        need = _quant.row_nbytes(ttype, nelems)
+    except Exception:
+        need = None
+    if need is not None and buf.nbytes < need:
+        return None
     rc = lib.wtpu_dequantize(
         ttype, buf.ctypes.data_as(ctypes.c_void_p),
         out.ctypes.data_as(ctypes.c_void_p), nelems, n_threads)

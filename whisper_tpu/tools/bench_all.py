@@ -32,9 +32,11 @@ def run_one(preset: str, timeout: int = 900) -> dict:
             out[m.group(1)] = float(m.group(2))
     for line in proc.stdout.splitlines():
         try:
-            out.update(json.loads(line))
+            doc = json.loads(line)
         except json.JSONDecodeError:
-            pass
+            continue
+        if isinstance(doc, dict):   # stray scalar JSON lines are not rows (r4)
+            out.update(doc)
     return out
 
 
@@ -62,7 +64,8 @@ def main(argv=None) -> int:
               f"{r.get('pp', float('nan')):8.4f} | "
               f"{r.get('mel', float('nan')):8.2f} | "
               f"{r.get('value', float('nan')):8.1f}"
-              + ("  [UNRELIABLE]" if r.get("timing_unreliable") else ""))
+              + ("  [UNRELIABLE]" if r.get("timing_unreliable") else "")
+              + (f"  ERROR: {r['error']}" if r.get("error") else ""))
     return 0
 
 
