@@ -101,6 +101,42 @@ def lower_batch_decode(a: LV3Abstract, n_utt: int, weights: str = "bf16",
         strategy=device_loop.BEAM, dtype=jnp.bfloat16, kv_quant=kv_quant)
 
 
+def lower_speculative(a: LV3Abstract, k_spec: int = 8, draft_layers: int = 2):
+    """Speculative greedy at scale: large-v3 main + a distil-shaped draft
+    (2 decoder layers, same width/vocab) — the two-model draft/verify
+    while_loop program (decoding/speculative.py)."""
+    import dataclasses as _dc
+
+    from whisper_tpu.checkpoint.init import random_params
+    from whisper_tpu.config import FullParams
+    from whisper_tpu.decoding import filters
+    from whisper_tpu.decoding.speculative import decode_window_speculative
+    from whisper_tpu.tokenizer import synthetic_vocab
+
+    hp = a.hp
+    hp_d = _dc.replace(hp, n_text_layer=draft_layers)
+    d_shapes = jax.eval_shape(
+        lambda: jax.tree_util.tree_map(
+            jnp.asarray, random_params(hp_d, seed=0, compute_dtype="bfloat16")))
+    abs_draft = jax.tree_util.tree_map(
+        lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype), d_shapes)
+    H = hp.n_text_head
+    dh = hp.n_text_state // H
+    ck = cross_kv_structs(hp, 1)
+    dck = jax.ShapeDtypeStruct((draft_layers, 1, H, hp.n_audio_ctx, dh),
+                               jnp.bfloat16)
+    vocab = synthetic_vocab(hp.n_vocab)
+    consts_g, tids_g = filters.build_filter_consts(
+        vocab, hp, FullParams.default())
+    i32 = jnp.int32
+    return decode_window_speculative.lower(
+        a.abs_params, abs_draft, hp, hp_d, consts_g, ck, ck, dck, dck,
+        jax.ShapeDtypeStruct((a.prompt_max,), i32),
+        jax.ShapeDtypeStruct((), i32),
+        jax.ShapeDtypeStruct((), i32), jax.ShapeDtypeStruct((), i32),
+        tids=tids_g, k_spec=k_spec, dtype=jnp.bfloat16)
+
+
 def lower_encoder(a: LV3Abstract, batch: int = 1, use_flash=None):
     from whisper_tpu.api import _encode_jit
 
