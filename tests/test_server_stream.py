@@ -351,3 +351,42 @@ def test_server_continuous_batching(model_file, wav_bytes):
         # random-weight no-speech gating can legitimately drop segments)
     finally:
         httpd.shutdown()
+
+
+def test_server_lane_refill_over_max_batch(model_file, wav_bytes):
+    """max_batch caps LANES, not group size (r5): 4 concurrent requests
+    with max_batch=2 all complete in one full_batch call that streams
+    them through 2 lanes, and the dispatcher reports lane occupancy."""
+    import concurrent.futures
+
+    from whisper_tpu.serving.server import serve
+
+    httpd = serve(model_file, "127.0.0.1", 0, batch_window_ms=400,
+                  max_batch=2)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{port}/inference"
+
+        def post():
+            body, ctype = _multipart({
+                "file": wav_bytes, "no_timestamps": "true",
+                "temperature_inc": "0.0"})
+            req = urllib.request.Request(url, data=body,
+                                         headers={"Content-Type": ctype})
+            with urllib.request.urlopen(req, timeout=600) as r:
+                return json.load(r)["text"]
+
+        post()                        # warm the jit caches
+        with concurrent.futures.ThreadPoolExecutor(4) as ex:
+            texts = list(ex.map(lambda _: post(), range(4)))
+        disp = httpd.whisper_state.dispatcher
+        assert disp is not None
+        assert all(isinstance(x, str) for x in texts)
+        # at least one multi-row group ran, and its occupancy was recorded
+        assert disp.max_rows >= 2
+        assert disp.last_occupancy is not None
+        assert 0.0 < disp.last_occupancy <= 1.0
+    finally:
+        httpd.shutdown()

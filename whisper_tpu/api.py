@@ -295,12 +295,17 @@ class WhisperContext:
             st = self.create_state()
             st.full(p, silence)
 
-    def full_batch(self, params: FullParams, audios, mesh=None):
+    def full_batch(self, params: FullParams, audios, mesh=None,
+                   n_lanes=None, stats=None):
         """Transcribe many utterances concurrently (continuous batching —
         the TPU-native replacement for whisper_full_parallel's threads;
-        see decoding/batch_full.py). Returns a list of segment lists."""
+        see decoding/batch_full.py). `n_lanes` caps the device batch:
+        utterances stream through the lanes, freed lanes refill from the
+        pending queue. `stats` (a dict) receives rounds / admitted /
+        lane_occupancy. Returns a list of segment lists."""
         from whisper_tpu.decoding.batch_full import run_full_batch
-        return run_full_batch(self, params, audios, mesh=mesh)
+        return run_full_batch(self, params, audios, mesh=mesh,
+                              n_lanes=n_lanes, stats=stats)
 
     # model metadata getters (reference whisper_model_* / whisper_n_*)
     def n_vocab(self) -> int: return self.hparams.n_vocab

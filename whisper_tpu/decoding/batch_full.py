@@ -1,13 +1,17 @@
 """run_full_batch — transcribe MANY utterances concurrently on one chip
-(or data-parallel across a mesh).
+(or data-parallel across a mesh), with CONTINUOUS lane refill.
 
 This is the TPU-native answer to whisper_full_parallel (reference
 src/whisper.cpp:7736-7864): instead of N host threads each walking its own
-audio chunk, N utterances advance their 30 s windows in lockstep — one
-batched encoder call and one batched on-device token loop per round.
-Utterances finish independently; finished rows ride along masked until all
-are done (their lanes do no useful work, which is the price of static
-shapes — with a data mesh the batch axis shards over chips).
+audio chunk, utterances occupy a fixed set of LANES that advance their
+30 s windows in lockstep — one batched encoder call and one batched
+on-device token loop per round. The reference's workers never idle (each
+thread runs its chunk to completion); lockstep alone would leave finished
+lanes masked-but-idle under heterogeneous lengths, so between window
+rounds every freed lane is refilled from the pending-utterance queue
+(static shapes preserved: the lane's mel/prompt/seek state is host-side
+and per-row). `stats["lane_occupancy"]` reports the active-lane fraction
+actually achieved.
 
 Each utterance owns K decoder rows (beam_size / best_of) with
 block-diagonal beam forks, so the north-star beam-5 config batches too;
@@ -44,6 +48,83 @@ class _RowsView:
         self.failed = failed
 
 
+class _Utt:
+    """Host-side state of one utterance while it occupies a lane."""
+
+    __slots__ = ("idx", "st", "seek", "seek_end", "prompt_init",
+                 "prompt_past", "vad_mapping", "lang_id")
+
+    def __init__(self, idx, st, seek, seek_end, prompt_init, prompt_past,
+                 vad_mapping, lang_id):
+        self.idx = idx
+        self.st = st
+        self.seek = seek
+        self.seek_end = seek_end
+        self.prompt_init = prompt_init
+        self.prompt_past = prompt_past
+        self.vad_mapping = vad_mapping
+        self.lang_id = lang_id
+
+    @property
+    def done(self) -> bool:
+        return self.seek + DELTA_MIN >= self.seek_end
+
+
+def _init_utt(ctx, params: FullParams, idx: int, audio: np.ndarray,
+              no_timestamps: bool, language, need_detect: bool) -> _Utt:
+    """Per-utterance admission: VAD, mel, energy, language, prompt seed,
+    seek bounds — everything run_full does before its window loop
+    (reference whisper_full :6814-6995)."""
+    hp = ctx.hparams
+    vocab = ctx.vocab
+    st = ctx.create_state()
+    audio = np.asarray(audio, np.float32)
+
+    vad_mapping = None
+    if params.vad:
+        from whisper_tpu.models.vad import vad_filter_audio
+        filtered, vad_mapping = vad_filter_audio(st, audio, params)
+        audio = (filtered if filtered is not None and len(filtered)
+                 else np.zeros(0, np.float32))
+
+    if len(audio):
+        st.pcm_to_mel(audio)
+    if params.token_timestamps and len(audio):
+        from whisper_tpu.decoding.timestamps import get_signal_energy
+        st.t_beg = st.t_last = st.tid_last = 0
+        st.energy = get_signal_energy(audio, 32)
+
+    lang_id = 0
+    if hp.is_multilingual:
+        if need_detect:
+            if st.mel is not None:
+                from whisper_tpu.decoding.language import lang_auto_detect
+                lang_id, _ = lang_auto_detect(st, 0)
+        else:
+            lang_id = languages.lang_id(language)
+    st.lang_id = int(lang_id)
+
+    prompt_init = [vocab.token_sot]
+    if hp.is_multilingual:
+        prompt_init.append(vocab.token_lang(int(lang_id)))
+        prompt_init.append(vocab.token_translate if params.translate
+                           else vocab.token_transcribe)
+    if no_timestamps:
+        prompt_init.append(vocab.token_not)
+
+    seek_start = params.offset_ms // 10
+    seek_end = (0 if st.mel is None                   # VAD removed everything
+                else st.n_len_org if params.duration_ms == 0
+                else seek_start + params.duration_ms // 10)
+
+    # initial prompt seeds the past (run_full :150-153, reference
+    # :6906-6931)
+    prompt_past: List[int] = (list(params.prompt_tokens)
+                              if params.prompt_tokens else [])
+    return _Utt(idx, st, seek_start, seek_end, prompt_init, prompt_past,
+                vad_mapping, int(lang_id))
+
+
 def run_full_batch(
     ctx,
     params: FullParams,
@@ -51,15 +132,18 @@ def run_full_batch(
     mesh=None,
     timings_sink=None,
     lang_sink: Optional[List[int]] = None,
+    n_lanes: Optional[int] = None,
+    stats: Optional[dict] = None,
 ) -> List[List[Segment]]:
     hp = ctx.hparams
     vocab = ctx.vocab
-    B = len(audios)
-    if B == 0:
+    n_utt = len(audios)
+    if n_utt == 0:
         return []
     if params.n_decoders > MAX_DECODERS:
         # reference errors rather than clamping (src/whisper.cpp:6881-6883)
         raise ValueError(f"too many decoders requested ({params.n_decoders})")
+    B = max(1, min(n_lanes or n_utt, n_utt))      # lane count (device batch)
 
     # DFA-compilable grammars fold into the lockstep loop as per-row table
     # gathers (decoding/grammar_dfa.py). Logits callbacks and over-budget
@@ -103,83 +187,50 @@ def run_full_batch(
         fparams.no_timestamps = True
     consts, tids = filters.build_filter_consts(vocab, hp, fparams)
 
-    # per-utterance host state
-    states = [ctx.create_state() for _ in range(B)]
-    audios = [np.asarray(a, np.float32) for a in audios]
-    results: List[List[Segment]] = [[] for _ in range(B)]
-
-    # --- VAD preprocessing per utterance (matches run_full / the reference
-    # whisper_full at :7717-7734; segment times remapped after the loop) ---
-    vad_mappings = [None] * B
-    if params.vad:
-        from whisper_tpu.models.vad import vad_filter_audio
-        for b in range(B):
-            filtered, vad_mappings[b] = vad_filter_audio(
-                states[b], audios[b], params)
-            audios[b] = (filtered if filtered is not None and len(filtered)
-                         else np.zeros(0, np.float32))
-
-    for st, audio in zip(states, audios):
-        if len(audio):
-            st.pcm_to_mel(audio)
-        if params.token_timestamps and len(audio):
-            from whisper_tpu.decoding.timestamps import get_signal_energy
-            st.t_beg = st.t_last = st.tid_last = 0
-            st.energy = get_signal_energy(audio, 32)
-
-    # --- per-utterance language (auto-detect like run_full :121-126 /
-    # reference :6814-6830) ------------------------------------------------
-    language = params.language
-    need_detect = (language in (None, "", "auto") or params.detect_language)
-    lang_ids = np.zeros(B, np.int32)
-    if hp.is_multilingual:
-        for b in range(B):
-            if need_detect:
-                if states[b].mel is not None:
-                    from whisper_tpu.decoding.language import lang_auto_detect
-                    lid, _ = lang_auto_detect(states[b], 0)
-                else:
-                    lid = 0
-            else:
-                lid = languages.lang_id(language)
-            lang_ids[b] = lid
-            states[b].lang_id = int(lid)
-    if lang_sink is not None:
-        lang_sink.extend(int(l) for l in lang_ids)
-    if params.detect_language:
-        return results
-
-    def _prompt_init(b: int) -> List[int]:
-        pi = [vocab.token_sot]
-        if hp.is_multilingual:
-            pi.append(vocab.token_lang(int(lang_ids[b])))
-            pi.append(vocab.token_translate if params.translate
-                      else vocab.token_transcribe)
-        if no_timestamps:
-            pi.append(vocab.token_not)
-        return pi
-
-    prompt_inits = [_prompt_init(b) for b in range(B)]
-
-    seek_start = params.offset_ms // 10
-    seek = np.array([seek_start] * B, np.int32)
-    seek_end = np.array([
-        (0 if st.mel is None                      # VAD removed everything
-         else st.n_len_org if params.duration_ms == 0
-         else seek_start + params.duration_ms // 10)
-        for st in states], np.int32)
-
-    # initial prompt seeds every utterance's past (run_full :150-153,
-    # reference :6906-6931)
-    prompt_past: List[List[int]] = [[] for _ in range(B)]
     if params.initial_prompt and not params.prompt_tokens:
         params.prompt_tokens = ctx.tokenizer.encode(params.initial_prompt)
-    if params.prompt_tokens:
-        prompt_past = [list(params.prompt_tokens) for _ in range(B)]
 
-    # '>=' like the loop-bottom check and the reference (:6995); '<' was
-    # off by one at exactly DELTA_MIN frames remaining (r4 review)
-    done = np.array([seek[b] + DELTA_MIN >= seek_end[b] for b in range(B)])
+    language = params.language
+    need_detect = (language in (None, "", "auto") or params.detect_language)
+
+    results: List[List[Segment]] = [[] for _ in range(n_utt)]
+    seek_start = params.offset_ms // 10
+
+    # language-detect-only calls report every utterance and stop
+    # (run_full :121-126 / reference :6814-6830)
+    if params.detect_language:
+        for i, audio in enumerate(audios):
+            u = _init_utt(ctx, params, i, audio, no_timestamps, language,
+                          need_detect)
+            if lang_sink is not None:
+                lang_sink.append(u.lang_id)
+        return results
+
+    # ---- lanes + admission queue (continuous batching) -------------------
+    pending = list(range(n_utt))
+    lanes: List[Optional[_Utt]] = [None] * B
+    done_states: List[_Utt] = []
+    rounds = 0
+    lane_rounds_active = 0
+    n_admit = 0
+
+    def admit():
+        nonlocal n_admit
+        for l in range(B):
+            while True:
+                if lanes[l] is not None and lanes[l].done:
+                    done_states.append(lanes[l])
+                    lanes[l] = None
+                if lanes[l] is None and pending:
+                    i = pending.pop(0)
+                    u = _init_utt(ctx, params, i, audios[i], no_timestamps,
+                                  language, need_detect)
+                    if lang_sink is not None:
+                        lang_sink.append(u.lang_id)
+                    lanes[l] = u
+                    n_admit += 1
+                    continue   # a freshly admitted utterance may be done
+                break
 
     data_sharding = None
     if mesh is not None:
@@ -187,14 +238,23 @@ def run_full_batch(
         data_sharding = NamedSharding(mesh, P("data"))
 
     rng_seed = 0
-    while not done.all():
-        active = ~done
+    while True:
+        admit()
+        active = np.array([u is not None and not u.done for u in lanes])
+        if not active.any():
+            break
+        rounds += 1
+        lane_rounds_active += int(active.sum())
 
-        # ---- batched encode of each utterance's current window ------------
+        seek = np.array([u.seek if u else 0 for u in lanes], np.int32)
+        seek_end = np.array([u.seek_end if u else 0 for u in lanes], np.int32)
+
+        # ---- batched encode of each lane's current window ------------------
         windows = [
-            (states[b].mel_window(int(seek[b]))[0] if states[b].mel is not None
+            (u.st.mel_window(int(u.seek))[0]
+             if u is not None and u.st.mel is not None
              else jnp.zeros((hp.n_mels, 2 * hp.n_audio_ctx), jnp.float32))
-            for b in range(B)]
+            for u in lanes]
         mel_batch = jnp.stack(windows)                     # (B, n_mels, 3000)
         if data_sharding is not None:
             mel_batch = jax.device_put(mel_batch, data_sharding)
@@ -208,15 +268,17 @@ def run_full_batch(
         # rows; per-state "timings" get the wall clock divided evenly. Read
         # them as amortized batch cost, not per-utterance truth — the
         # whole-batch number is the product of total_s and the row count.
-        for b in range(B):
-            if active[b]:
-                states[b].timings.add("encode", (time.perf_counter() - t0) / max(1, active.sum()))
+        for l, u in enumerate(lanes):
+            if u is not None and active[l]:
+                u.st.timings.add(
+                    "encode", (time.perf_counter() - t0) / max(1, active.sum()))
 
         # drop stale prompt near the end (run_full :214-215, reference
         # :7013-7016)
-        for b in range(B):
-            if active[b] and seek[b] > seek_start and seek[b] + 500 >= seek_end[b]:
-                prompt_past[b] = []
+        for u in lanes:
+            if (u is not None and not u.done and u.seek > seek_start
+                    and u.seek + 500 >= u.seek_end):
+                u.prompt_past = []
 
         # ---- decode attempts over the temperature ladder ------------------
         # each utterance owns K decoder rows per attempt: beam_size under
@@ -224,7 +286,7 @@ def run_full_batch(
         # n_decoders_cur, src/whisper.cpp:7024-7044) — folded into one
         # (B*K)-row batch with block-diagonal beam forks
         needy = active.copy()
-        best = [None] * B          # per-utterance (result, winning row, score)
+        best = [None] * B          # per-lane (result, winning row, score)
         from whisper_tpu.config import SamplingStrategy
         for it, t_cur in enumerate(temperatures):
             if not needy.any():
@@ -246,22 +308,23 @@ def run_full_batch(
             # the smallest shared bucket (loop.py prompt_bucket)
             plens = np.ones(B, np.int32)
             row_prompts: List[List[int]] = []
-            for b in range(B):
+            for l, u in enumerate(lanes):
                 pr: List[int] = []
-                if (prompt_past[b] and t_cur < 0.5
-                        and params.n_max_text_ctx > 0):
-                    n_take = min(params.n_max_text_ctx, hp.n_text_ctx // 2,
-                                 len(prompt_past[b]))
-                    pr = [vocab.token_prev] + prompt_past[b][-n_take:]
-                pr = (pr + prompt_inits[b])[:prompt_max]
+                if u is not None:
+                    if (u.prompt_past and t_cur < 0.5
+                            and params.n_max_text_ctx > 0):
+                        n_take = min(params.n_max_text_ctx, hp.n_text_ctx // 2,
+                                     len(u.prompt_past))
+                        pr = [vocab.token_prev] + u.prompt_past[-n_take:]
+                    pr = (pr + u.prompt_init)[:prompt_max]
                 row_prompts.append(pr)
-                plens[b] = len(pr)
+                plens[l] = max(1, len(pr))
             buckets = sorted({min(8, prompt_max), min(64, prompt_max),
                               prompt_max})
             bucket = next(bb for bb in buckets if plens.max() <= bb)
             prompts = np.zeros((B, bucket), np.int32)
-            for b in range(B):
-                prompts[b, : len(row_prompts[b])] = row_prompts[b]
+            for l in range(B):
+                prompts[l, : len(row_prompts[l])] = row_prompts[l]
 
             t0 = time.perf_counter()
             res = batch_loop.decode_windows_batch(
@@ -280,16 +343,16 @@ def run_full_batch(
                 kv_quant=ctx.kv_quant)
             res = jax.tree_util.tree_map(np.asarray, res)
             n_steps = int(res.n_tokens)
-            for b in range(B):
-                if needy[b]:
-                    states[b].timings.add("decode",
-                                          (time.perf_counter() - t0) / max(1, needy.sum()),
-                                          max(1, n_steps))
+            for l, u in enumerate(lanes):
+                if u is not None and needy[l]:
+                    u.st.timings.add("decode",
+                                     (time.perf_counter() - t0) / max(1, needy.sum()),
+                                     max(1, n_steps))
 
-            for b in range(B):
-                if not needy[b]:
+            for l, u in enumerate(lanes):
+                if not needy[l] or u is None:
                     continue
-                rows = slice(b * K, (b + 1) * K)
+                rows = slice(l * K, (l + 1) * K)
                 view = _RowsView(
                     tokens=res.tokens[rows], tok_plog=res.tok_plog[rows],
                     result_len=res.result_len[rows], failed=res.failed[rows])
@@ -299,26 +362,26 @@ def run_full_batch(
                 fallback = scoring.needs_fallback(
                     all_failed,
                     sc.avg_logprobs if sc else float("-inf"),
-                    float(res.no_speech_prob[b]),
+                    float(res.no_speech_prob[l]),
                     params, it == len(temperatures) - 1)
-                best[b] = (res, b * K + j,
+                best[l] = (res, l * K + j,
                            sc or scoring.score_sequence(
                                np.zeros(0, np.int32), np.zeros(0, np.float32),
                                params.length_penalty),
-                           row_prompts[b])
+                           row_prompts[l])
                 if not fallback:
-                    needy[b] = False
+                    needy[l] = False
             # rows still needy rerun at the next temperature
 
-        # ---- emit per-row segments ----------------------------------------
-        for b in range(B):
-            if not active[b]:
+        # ---- emit per-lane segments ----------------------------------------
+        for l, u in enumerate(lanes):
+            if u is None or not active[l]:
                 continue
-            res, rb, sc, win_prompt = best[b]
+            res, rb, sc, win_prompt = best[l]
             result_len = int(res.result_len[rb])
             sd = int(res.seek_delta[rb])
-            nsp = float(res.no_speech_prob[b])   # per-utterance (U,)
-            states[b].no_speech_prob = nsp
+            nsp = float(res.no_speech_prob[l])   # per-utterance (U,)
+            u.st.no_speech_prob = nsp
 
             tokens_cur = [
                 TokenData(id=int(res.tokens[rb, i]), tid=int(res.tok_tid[rb, i]),
@@ -335,21 +398,21 @@ def run_full_batch(
             # unconditional, matching run_full)
             new_past: List[int] = []
             if win_prompt and win_prompt[0] == vocab.token_prev:
-                new_past = win_prompt[1 : len(win_prompt) - len(prompt_inits[b])]
+                new_past = win_prompt[1 : len(win_prompt) - len(u.prompt_init)]
             if not is_no_speech:
                 new_past += [td.id for td in tokens_cur]
-            prompt_past[b] = new_past
+            u.prompt_past = new_past
 
             if tokens_cur and not is_no_speech:
                 segs = seg_mod.emit_segments(
-                    tokens_cur, int(seek[b]), sd, vocab, ctx.tokenizer, params, nsp)
+                    tokens_cur, int(u.seek), sd, vocab, ctx.tokenizer, params, nsp)
                 if params.token_timestamps and segs:
                     from whisper_tpu.decoding.timestamps import (
                         compute_token_level_timestamps)
                     wrapped = []
                     for s in segs:
                         compute_token_level_timestamps(
-                            states[b], s, params.thold_pt, params.thold_ptsum)
+                            u.st, s, params.thold_pt, params.thold_ptsum)
                         if params.max_len > 0:
                             wrapped.extend(seg_mod.wrap_segment(
                                 s, vocab, params.max_len, params.split_on_word))
@@ -363,39 +426,45 @@ def run_full_batch(
                 # bf16 arrays and int8 (codes, scales) tuples alike).
                 if ctx.cparams.dtw_token_timestamps and segs:
                     from whisper_tpu.decoding.dtw import compute_dtw_timestamps
-                    states[b].cross_k = jax.tree_util.tree_map(
-                        lambda x: x[:, b:b + 1], ck)
-                    states[b].cross_v = jax.tree_util.tree_map(
-                        lambda x: x[:, b:b + 1], cv)
+                    u.st.cross_k = jax.tree_util.tree_map(
+                        lambda x: x[:, l:l + 1], ck)
+                    u.st.cross_v = jax.tree_util.tree_map(
+                        lambda x: x[:, l:l + 1], cv)
                     n_frames = min(100 * CHUNK_SIZE, sd,
-                                   int(seek_end[b] - seek[b]))
-                    compute_dtw_timestamps(states[b], params, segs,
-                                           int(seek[b]), n_frames)
-                results[b].extend(segs)
+                                   int(u.seek_end - u.seek))
+                    compute_dtw_timestamps(u.st, params, segs,
+                                           int(u.seek), n_frames)
+                results[u.idx].extend(segs)
 
             if (result_len > 1
                     and tokens_cur and len(tokens_cur) > 1
                     and tokens_cur[-2].id < vocab.token_beg
                     and tokens_cur[-1].id > vocab.token_beg):
-                sd = min(int(seek_end[b] - seek[b]), 100 * CHUNK_SIZE)
-            seek[b] += sd
-            if seek[b] + DELTA_MIN >= seek_end[b]:
-                done[b] = True
+                sd = min(int(u.seek_end - u.seek), 100 * CHUNK_SIZE)
+            u.seek += sd
         rng_seed += 1000
+
+    done_states.extend(u for u in lanes if u is not None)
 
     # remap segment times through each utterance's VAD mapping
     # (reference :7882-7960, as in run_full)
     if params.vad:
         from whisper_tpu.models.vad import remap_segment_times
-        for b in range(B):
-            if vad_mappings[b]:
-                for s in results[b]:
-                    remap_segment_times(s, vad_mappings[b])
+        for u in done_states:
+            if u.vad_mapping:
+                for s in results[u.idx]:
+                    remap_segment_times(s, u.vad_mapping)
 
     if timings_sink is not None:
         # aggregate per-utterance timings (reference whisper_full_parallel
         # sums its workers' timings, src/whisper.cpp:7849-7858)
-        for st in states:
-            for phase, stat in st.timings.phases.items():
+        for u in done_states:
+            for phase, stat in u.st.timings.phases.items():
                 timings_sink.add(phase, stat.total_s, stat.calls)
+    if stats is not None:
+        stats["n_lanes"] = B
+        stats["rounds"] = rounds
+        stats["admitted"] = n_admit
+        stats["lane_occupancy"] = (
+            lane_rounds_active / (rounds * B) if rounds else 1.0)
     return results

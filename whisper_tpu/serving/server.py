@@ -102,6 +102,7 @@ class BatchingDispatcher:
         self.n_batches = 0
         self.n_rows = 0
         self.max_rows = 0
+        self.last_occupancy = None
         self.thread = threading.Thread(target=self._run, daemon=True)
         self.thread.start()
 
@@ -129,18 +130,26 @@ class BatchingDispatcher:
             for r in batch:
                 groups.setdefault(_params_key(r.params), []).append(r)
             for reqs in groups.values():
-                for i in range(0, len(reqs), self.max_batch):
-                    self._run_group(reqs[i : i + self.max_batch])
+                # max_batch caps the device LANES, not the group size:
+                # run_full_batch streams the whole group through the lanes,
+                # refilling each lane as its utterance finishes (continuous
+                # batching — short requests never hold lanes hostage to the
+                # longest one)
+                self._run_group(reqs)
 
     def _run_group(self, reqs):
         try:
+            stats: Dict = {}
             with self.state.lock:
                 ctx = self.state.ctx
                 results = ctx.full_batch(reqs[0].params,
-                                         [r.samples for r in reqs])
+                                         [r.samples for r in reqs],
+                                         n_lanes=self.max_batch,
+                                         stats=stats)
             self.n_batches += 1
             self.n_rows += len(reqs)
             self.max_rows = max(self.max_rows, len(reqs))
+            self.last_occupancy = stats.get("lane_occupancy")
             for r, segs in zip(reqs, results):
                 r.segments = segs
         except Exception as e:  # fail the whole group, not the server
