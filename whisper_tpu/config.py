@@ -225,6 +225,14 @@ class GreedyParams:
 class BeamSearchParams:
     beam_size: int = 5      # reference src/whisper.cpp:6013
     patience: float = -1.0
+    # strict-parity candidate generation: draw the beam_size candidates
+    # multinomially from the filtered distribution like the reference's
+    # whisper_sample_token_topk (std::discrete_distribution at every
+    # temperature, src/whisper.cpp:6548-6558) instead of deterministic
+    # top-k. Default False: top-k dominates sampled candidates for search
+    # quality and gives run-to-run determinism (PARITY.md "Documented
+    # deviations", retired by this flag).
+    multinomial_candidates: bool = False
 
 
 @dataclasses.dataclass

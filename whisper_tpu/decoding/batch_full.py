@@ -340,7 +340,8 @@ def run_full_batch(
                 max_tokens=params.max_tokens,
                 single_segment=params.single_segment,
                 no_timestamps=no_timestamps, dtype=ctx.dtype,
-                kv_quant=ctx.kv_quant)
+                kv_quant=ctx.kv_quant,
+                beam_multinomial=params.beam_search.multinomial_candidates)
             res = jax.tree_util.tree_map(np.asarray, res)
             n_steps = int(res.n_tokens)
             for l, u in enumerate(lanes):

@@ -67,7 +67,7 @@ def rows_per_utt(strategy: int, beam_size: int, best_of: int = 1) -> int:
     jax.jit,
     static_argnames=("hp", "tids", "n_utt", "n_per_utt", "strategy",
                      "max_tokens", "single_segment", "no_timestamps", "dtype",
-                     "kv_quant"),
+                     "kv_quant", "beam_multinomial"),
 )
 def decode_windows_batch(
     params,
@@ -94,6 +94,7 @@ def decode_windows_batch(
     no_timestamps: bool = False,
     dtype=jnp.bfloat16,
     kv_quant: bool = False,
+    beam_multinomial: bool = False,
 ) -> BatchWindowResult:
     V = tids.n_vocab
     U = n_utt
@@ -207,13 +208,22 @@ def decode_windows_batch(
                              axis=-1).astype(jnp.int32)
         elif strategy == BEAM:
             # block-diagonal fork: beam_select per utterance group, vmapped
-            sel = jax.vmap(
-                functools.partial(beam_select, beam_size=K, i=i))(
+            bsel = functools.partial(beam_select, beam_size=K, i=i)
+            group_args = (
                 logprobs.reshape(U, K, V),
                 live.reshape(U, K),
                 st.sum_lp.reshape(U, K),
                 st.prefix_hash.reshape(U, K),
                 st.last_token.reshape(U, K))
+            if beam_multinomial:
+                # strict-parity candidates (see device_loop.beam_select)
+                noise = jax.random.gumbel(
+                    jax.random.fold_in(jax.random.fold_in(rng_key, i), 7),
+                    (U, K, K, V))
+                sel = jax.vmap(lambda lp, lv, slp, ph, lt, cn: bsel(
+                    lp, lv, slp, ph, lt, cand_noise=cn))(*group_args, noise)
+            else:
+                sel = jax.vmap(bsel)(*group_args)
             src_local, tok = sel
             src = (jnp.arange(U)[:, None] * K + src_local).reshape(B)
             tok = tok.reshape(B)

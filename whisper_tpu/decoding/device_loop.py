@@ -11,9 +11,10 @@ host, once per (window × temperature).
 
 Matching reference semantics:
 - sampling: whisper_sample_token (:6432-6493); beam CANDIDATES are
-  deterministic top-k, an intentional deviation from
-  whisper_sample_token_topk's k multinomial draws (:6549-6558) — see
-  PARITY.md "Documented deviations"
+  deterministic top-k by default (an intentional improvement over
+  whisper_sample_token_topk's k multinomial draws, :6549-6558) —
+  `FullParams.beam_search.multinomial_candidates` restores the
+  reference's sampled-candidate law exactly (see beam_select)
 - beam candidate sort + dedup + KV fork: (:7239-7290), with the KV
   seq-copy replaced by a batch-axis gather (models/whisper.py KVCache)
 - per-decoder update rules (timestamp/seek_delta/completed/failed):
@@ -54,7 +55,7 @@ BEAM = 2          # beam search (t == 0 under BEAM_SEARCH strategy)
 
 
 def beam_select(logprobs, live, sum_logprobs, prefix_hash, last_token, i,
-                beam_size: int):
+                beam_size: int, cand_noise=None):
     """Beam candidate sort + slot assignment for ONE beam group, exactly
     mirroring the reference cursor machine (src/whisper.cpp:7239-7290):
 
@@ -81,7 +82,21 @@ def beam_select(logprobs, live, sum_logprobs, prefix_hash, last_token, i,
     B = logprobs.shape[0]
     k = beam_size
     nc_max = B * k
-    top_lp, top_id = lax.top_k(logprobs, k)                 # (B, k)
+    if cand_noise is None:
+        top_lp, top_id = lax.top_k(logprobs, k)             # (B, k)
+    else:
+        # strict-parity candidates (FullParams.beam_search
+        # .multinomial_candidates): the reference draws its beam_size
+        # candidates from std::discrete_distribution(probs) — its
+        # partial_sort output is unused (whisper_sample_token_topk,
+        # src/whisper.cpp:6548-6558). k independent Gumbel-max draws over
+        # the same filtered distribution reproduce that law; duplicate
+        # draws become adjacent equal candidates, which the cursor machine
+        # below skips exactly like the reference's tokens_equal walk.
+        pert = (jnp.where(jnp.isinf(logprobs), NEG_INF, logprobs)[:, None, :]
+                + cand_noise)                               # (B, k, V)
+        top_id = jnp.argmax(pert, axis=-1).astype(jnp.int32)
+        top_lp = jnp.take_along_axis(logprobs, top_id, axis=1)
     cand_score = (sum_logprobs[:, None] + top_lp).reshape(-1)
     cand_dead = jnp.repeat(~live, k)
     cand_tok = top_id.reshape(-1).astype(jnp.int32)
@@ -157,7 +172,8 @@ class _LoopState(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("hp", "tids", "n_dec", "strategy", "beam_size", "max_tokens",
-                     "single_segment", "no_timestamps", "dtype", "kv_quant"),
+                     "single_segment", "no_timestamps", "dtype", "kv_quant",
+                     "beam_multinomial"),
 )
 def decode_window(
     params,
@@ -183,6 +199,7 @@ def decode_window(
     no_timestamps: bool = False,
     dtype=jnp.bfloat16,
     kv_quant: bool = False,
+    beam_multinomial: bool = False,
 ) -> WindowResult:
     V = tids.n_vocab
     B = n_dec
@@ -281,9 +298,13 @@ def decode_window(
                              axis=-1).astype(jnp.int32)
             src = jnp.arange(B)
         else:  # BEAM
+            cand_noise = (
+                jax.random.gumbel(jax.random.fold_in(key, 7),
+                                  (B, beam_size, V))
+                if beam_multinomial else None)
             src, tok = beam_select(
                 logprobs, live, st.sum_logprobs_all, st.prefix_hash,
-                st.last_token, i, beam_size)
+                st.last_token, i, beam_size, cand_noise)
 
             # fork: gather every per-decoder datum from the source beam.
             # The KV gather (the only HBM-heavy one) is DEFERRED into the

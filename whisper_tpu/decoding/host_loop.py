@@ -137,7 +137,17 @@ def decode_window_host(
             for j in range(B):
                 if not live[j]:
                     continue
-                top = np.argsort(-logprobs[j])[:k]
+                if params.beam_search.multinomial_candidates:
+                    # strict-parity mode: k draws from the filtered
+                    # distribution with this decoder's rng, like the
+                    # reference's std::discrete_distribution(probs)
+                    # (whisper_sample_token_topk, src/whisper.cpp:6548-6558)
+                    pj = probs[j].astype(np.float64)
+                    s = pj.sum()
+                    top = (rngs[j].choice(len(pj), size=k, p=pj / s)
+                           if s > 0 else np.argsort(-logprobs[j])[:k])
+                else:
+                    top = np.argsort(-logprobs[j])[:k]
                 for tk in top:
                     cands.append((sum_lp[j] + logprobs[j][tk], j, int(tk),
                                   float(logprobs[j][tk])))

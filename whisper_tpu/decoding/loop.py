@@ -314,6 +314,8 @@ def run_full(state: WhisperState, params: FullParams, samples: Optional[np.ndarr
                         no_timestamps=no_timestamps,
                         dtype=ctx.dtype,
                         kv_quant=ctx.kv_quant,
+                        beam_multinomial=(
+                            params.beam_search.multinomial_candidates),
                     )
                 result = jax.tree_util.tree_map(np.asarray, result)
                 n_steps = int(result.n_tokens)
