@@ -483,13 +483,23 @@ def decoder_forward(
             return tuple(lax.dynamic_update_index_in_dim(a, n, li, 0)
                          for a, n in zip(full, new_layer))
 
+        # steady state writes ONE token-row range, not the 511 untouched
+        # positions: r5 audit (tools/hbm_audit.py) measured the whole-slice
+        # write-back at 2 x 6.55 MB/layer/step at large-v3 beam-5 —
+        # ~0.4 GB/token of avoidable HBM traffic
         if per_row:
-            kvs_full = slice_wb(kvs_full)
+            # per-row positions (the batched loop): vmapped DUS over lanes
+            def row_wb(full):
+                out = []
+                for a, r in zip(full, rows):
+                    def upd(al, rb, p):
+                        tail = rb.ndim - 2     # dims after the T axis
+                        return lax.dynamic_update_slice(
+                            al, rb[None], (li, 0, p) + (0,) * tail)
+                    out.append(jax.vmap(upd, in_axes=(1, 0, 0), out_axes=1)(
+                        a, r, pos0_vec))
+                return tuple(out)
         else:
-            # steady state writes ONE token-row range, not the 511
-            # untouched positions: r5 audit (tools/hbm_audit.py) measured
-            # the whole-slice write-back at 2 x 6.55 MB/layer/step at
-            # large-v3 beam-5 — ~0.4 GB/token of avoidable HBM traffic
             def row_wb(full):
                 out = []
                 for a, r in zip(full, rows):
@@ -498,10 +508,10 @@ def decoder_forward(
                         a, r[None], (li, 0, 0, pos0) + (0,) * tail))
                 return tuple(out)
 
-            if fork_src is None:
-                kvs_full = row_wb(kvs_full)
-            else:
-                kvs_full = lax.cond(fork_needed, slice_wb, row_wb, kvs_full)
+        if fork_src is None:
+            kvs_full = row_wb(kvs_full)
+        else:
+            kvs_full = lax.cond(fork_needed, slice_wb, row_wb, kvs_full)
         return (x, kvs_full), extras[2:]
 
     (x, kvs_out), ys = lax.scan(
