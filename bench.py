@@ -375,6 +375,7 @@ def batch_capacity_check() -> dict:
 
     for label, (weights, kvq, w_b, sk_b, ck_b) in configs.items():
         fitted = {}     # U -> hbm_peak_gb of successfully compiled cells
+        fit_compiled = {}   # U -> compiled executable (for the max-U audit)
 
         def predict(U):
             """Linear extrapolation of HBM vs U from compiled cells."""
@@ -411,6 +412,8 @@ def batch_capacity_check() -> dict:
                     row["rtf_chip_analytic"] = round(
                         rtf_chip(U, w_b, sk_b, ck_b), 1)
                     fitted[U] = row["hbm_peak_gb"]
+                    if row["fits_16gb"]:
+                        fit_compiled[U] = c
                     log(f"batch_capacity {key}: hbm {row['hbm_peak_gb']} GB "
                         f"(fits={row['fits_16gb']}), analytic rtf/chip "
                         f"{row['rtf_chip_analytic']}")
@@ -449,6 +452,23 @@ def batch_capacity_check() -> dict:
         if lo:
             out[f"rtf_chip_at_max_{label}"] = round(
                 rtf_chip(lo, w_b, sk_b, ck_b), 1)
+            # HLO-audited counterpart: per-step HBM traffic measured from
+            # the compiled max-U program (tools/hbm_audit.py) instead of
+            # the analytic byte model — the reconciled throughput figure
+            if lo in fit_compiled:
+                try:
+                    from whisper_tpu.tools.hbm_audit import (
+                        audit_decode_program)
+                    aud = audit_decode_program(fit_compiled[lo], L)
+                    step_gb = aud.get("per_token_gb")
+                    if step_gb:
+                        step_s = step_gb * 1e9 / (0.7 * V5E_HBM_GBPS * 1e9)
+                        out[f"step_gb_hlo_at_max_{label}"] = step_gb
+                        out[f"rtf_chip_hlo_at_max_{label}"] = round(
+                            lo * 30.0 / (lo * enc_exp_s + N_TOK * step_s), 1)
+                except Exception as e:
+                    out[f"step_gb_hlo_at_max_{label}"] = (
+                        "audit_error: " + str(e)[:120])
 
     # batched encoder at the largest capacity found (activations scale
     # with U; weights are the bf16 encoder stack either way)
@@ -647,6 +667,9 @@ def main():
                 "rtf_chip_bf16": bc.get("rtf_chip_at_max_bf16"),
                 "rtf_chip_q5": bc.get("rtf_chip_at_max_q5"),
                 "rtf_chip_q5_kv8": bc.get("rtf_chip_at_max_q5_kv8"),
+                # audited-traffic counterparts (see hbm_step_gb above)
+                "rtf_hlo_bf16": bc.get("rtf_chip_hlo_at_max_bf16"),
+                "rtf_hlo_q5_kv8": bc.get("rtf_chip_hlo_at_max_q5_kv8"),
             }
         except Exception as e:
             detail["batch_capacity"] = {"ok": False, "error": str(e)[:300]}
