@@ -347,13 +347,32 @@ def decoder_forward(
                             hp.n_text_ctx - 1)            # (B, T)
     x = x + dec["pos_embed"].astype(dtype)[positions]
 
-    # causal mask against cache positions: query t may attend cache pos <=
-    # pos0+t; rows' garbage prompt-padding slots sit above pos0+t and are
-    # never visible (overwritten as generation advances)
+    # SPLIT vs MERGED self-attention (r5). Scalar-position programs (the
+    # single-utterance beam/greedy/speculative loops) read the cache
+    # HISTORY (< pos0) straight out of the carried cache — XLA fuses the
+    # dynamic-slice into the attention dots, so no merged per-layer slice
+    # is ever materialized — and handle the chunk's own rows as an
+    # explicit causally-masked block; writes are row-granular and the
+    # beam fork persists via a per-layer pre-pass cond on the carry.
+    # HLO-audited per-token traffic at large-v3 beam-5: 2.48 -> 2.28 GB
+    # (the analytic model exactly); temps 1.19 -> 0.98 GB.
+    # The per-row batched program keeps the merged path: its per-row
+    # write positions lower to scatter under the split form, which
+    # defeats carry aliasing (full-cache copies per layer) — measured,
+    # not theoretical; see tools/hbm_audit.py and PERF.md.
+    split = not per_row
     cache_pos = jnp.arange(kv.k.shape[3])
-    mask = cache_pos[None, None, :] <= (
-        pos0_vec[:, None] + jnp.arange(T)[None, :])[:, :, None]  # (B,T,Tmax)
-    mask = mask[:, None]                                         # (B,1,T,Tmax)
+    if split:
+        hist_mask = (cache_pos[None, None, None, :]
+                     < pos0_vec[:, None, None, None])        # (B,1,1,Tmax)
+        chunk_mask = (jnp.arange(T)[None, :]
+                      <= jnp.arange(T)[:, None])[None, None]  # (1,1,T,T)
+    else:
+        # query t may attend cache pos <= pos0+t; garbage prompt-padding
+        # slots sit above pos0+t and are never visible
+        mask = cache_pos[None, None, :] <= (
+            pos0_vec[:, None] + jnp.arange(T)[None, :])[:, :, None]
+        mask = mask[:, None]                                 # (B,1,T,Tmax)
 
     if fork_src is not None:
         fork_needed = jnp.any(fork_src != jnp.arange(B))
@@ -366,36 +385,73 @@ def decoder_forward(
         q = _split_heads(linear(h, blk["attn_q"]), H)
         k_new = _split_heads(linear(h, blk["attn_k"]), H)
         v_new = _split_heads(linear(h, blk["attn_v"]), H)
-        # deferred beam fork (see docstring): gather this layer's rows from
-        # their fork sources, skipped at runtime on no-fork steps
-        if fork_src is not None:
-            kvs = lax.cond(
-                fork_needed,
-                lambda t: tuple(a[fork_src] for a in t),
-                lambda t: t, kvs)
-        # write new K/V at positions [pos0, pos0+T)
-        def _write(cache_l, new_rows):
-            """DUS rows at [pos0, pos0+T) on one layer's cache — same
-            helper for (B, H, T, Dh) value arrays and (B, H, T) scales."""
-            tail = new_rows.ndim - 3           # dims after the T axis
-            if per_row:
-                def _upd(cache_b, new_b, p):
-                    return lax.dynamic_update_slice(
-                        cache_b, new_b, (0, p) + (0,) * tail)
-                return jax.vmap(_upd)(cache_l, new_rows, pos0_vec)
-            return lax.dynamic_update_slice(
-                cache_l, new_rows, (0, 0, pos0) + (0,) * tail)
 
-        if quant:
-            kq_new, ksc_new = quantize_kv_rows(k_new)
-            vq_new, vsc_new = quantize_kv_rows(v_new)
-            rows = (kq_new, vq_new, ksc_new, vsc_new)
-            kvs = tuple(_write(c, n) for c, n in zip(kvs, rows))
-            o = attention_quant(q, kvs[0], kvs[2], kvs[1], kvs[3], mask)
+        if split:
+            # history block (raw carry slices) + new-rows block
+            scale_a = q.shape[-1] ** -0.5
+            if quant:
+                kq, vq, ksc, vsc = kvs
+                lh = jnp.einsum("bhqd,bhkd->bhqk", q, kq.astype(q.dtype),
+                                preferred_element_type=jnp.float32)
+                lh = lh * scale_a * ksc[:, :, None, :]
+                kq_r, ks_r = quantize_kv_rows(k_new)
+                vq_r, vs_r = quantize_kv_rows(v_new)
+                rows = (kq_r, vq_r, ks_r, vs_r)
+            else:
+                kh, vh = kvs
+                lh = jnp.einsum("bhqd,bhkd->bhqk", q, kh.astype(q.dtype),
+                                preferred_element_type=jnp.float32) * scale_a
+                rows = (k_new, v_new)
+            lh = jnp.where(hist_mask, lh, -jnp.inf)
+            ln = jnp.einsum("bhqd,bhkd->bhqk", q, k_new,
+                            preferred_element_type=jnp.float32) * scale_a
+            ln = jnp.where(chunk_mask, ln, -jnp.inf)
+            probs = jax.nn.softmax(
+                jnp.concatenate([lh, ln], axis=-1), axis=-1)
+            ph, pn = probs[..., : lh.shape[-1]], probs[..., lh.shape[-1]:]
+            if quant:
+                pw = (ph * vsc[:, :, None, :]).astype(q.dtype)
+                o = jnp.einsum("bhqk,bhkd->bhqd", pw, vq.astype(q.dtype),
+                               preferred_element_type=jnp.float32)
+            else:
+                o = jnp.einsum("bhqk,bhkd->bhqd", ph.astype(q.dtype),
+                               vh.astype(q.dtype),
+                               preferred_element_type=jnp.float32)
+            o = (o + jnp.einsum("bhqk,bhkd->bhqd", pn.astype(q.dtype), v_new,
+                                preferred_element_type=jnp.float32)
+                 ).astype(q.dtype)
         else:
-            rows = (k_new, v_new)
-            kvs = tuple(_write(c, n) for c, n in zip(kvs, rows))
-            o = attention(q, kvs[0], kvs[1], mask)
+            # deferred beam fork (see docstring): gather this layer's rows
+            # from their fork sources, skipped at runtime on no-fork steps
+            if fork_src is not None:
+                kvs = lax.cond(
+                    fork_needed,
+                    lambda t: tuple(a[fork_src] for a in t),
+                    lambda t: t, kvs)
+
+            # write new K/V at positions [pos0, pos0+T)
+            def _write(cache_l, new_rows):
+                """DUS rows at [pos0, pos0+T) on one layer's cache — same
+                helper for (B, H, T, Dh) values and (B, H, T) scales."""
+                tail = new_rows.ndim - 3       # dims after the T axis
+                if per_row:
+                    def _upd(cache_b, new_b, p):
+                        return lax.dynamic_update_slice(
+                            cache_b, new_b, (0, p) + (0,) * tail)
+                    return jax.vmap(_upd)(cache_l, new_rows, pos0_vec)
+                return lax.dynamic_update_slice(
+                    cache_l, new_rows, (0, 0, pos0) + (0,) * tail)
+
+            if quant:
+                kq_new, ksc_new = quantize_kv_rows(k_new)
+                vq_new, vsc_new = quantize_kv_rows(v_new)
+                rows = (kq_new, vq_new, ksc_new, vsc_new)
+                kvs = tuple(_write(c, n) for c, n in zip(kvs, rows))
+                o = attention_quant(q, kvs[0], kvs[2], kvs[1], kvs[3], mask)
+            else:
+                rows = (k_new, v_new)
+                kvs = tuple(_write(c, n) for c, n in zip(kvs, rows))
+                o = attention(q, kvs[0], kvs[1], mask)
         x = x + linear(_merge_heads(o), blk["attn_out"])
 
         # --- cross-attention (precomputed K/V; optionally int8 codes +
@@ -407,6 +463,14 @@ def decoder_forward(
         cross_q8 = isinstance(ck, tuple)
         if cross_q8:
             (ck, ck_s), (cv, cv_s) = ck, cv
+        # multi-row chunks (prompt / speculative-verify passes) run the
+        # Pallas flash kernel: the (.., Tq, 1500) f32 score stages would
+        # otherwise materialize ~1.7 GB x softmax pipeline at serving
+        # batch (r5). T == 1 decode steps and the cross-QK-collecting DTW
+        # pass keep the einsum path (flash never materializes the probs),
+        # as does the int8 cross-KV (scales factor into the dots there).
+        use_flash_cross = T > 1 and not collect_cross_qk and not cross_q8
+        cross_probs = None
         if ck.shape[0] != B:
             # shared encoder K/V across groups of decoders (beam/best-of
             # fan-out, and utterance×beam folding in batch mode): fold each
@@ -421,20 +485,30 @@ def decoder_forward(
             # (B,H,T,Dh) -> (U, H, G*T, Dh)
             qh = (qc.reshape(U, G, H, T, dh)
                     .transpose(0, 2, 1, 3, 4).reshape(U, H, G * T, dh))
-            cross_logits = jnp.einsum(
-                "uhqd,uhkd->uhqk", qh, ck.astype(qc.dtype),
-                preferred_element_type=jnp.float32) * scale       # (U,H,G*T,Ta)
-            if cross_q8:
-                cross_logits = cross_logits * ck_s[:, :, None, :]
-            cross_probs = jax.nn.softmax(cross_logits, axis=-1)
-            pw = (cross_probs * cv_s[:, :, None, :] if cross_q8
-                  else cross_probs).astype(qc.dtype)
-            oc = jnp.einsum("uhqk,uhkd->uhqd", pw, cv.astype(qc.dtype),
-                            preferred_element_type=jnp.float32).astype(qc.dtype)
+            if use_flash_cross:
+                from whisper_tpu.ops.flash_attention import flash_attention
+                oc = flash_attention(qh, ck.astype(qh.dtype),
+                                     cv.astype(qh.dtype), block_q=256)
+            else:
+                cross_logits = jnp.einsum(
+                    "uhqd,uhkd->uhqk", qh, ck.astype(qc.dtype),
+                    preferred_element_type=jnp.float32) * scale   # (U,H,G*T,Ta)
+                if cross_q8:
+                    cross_logits = cross_logits * ck_s[:, :, None, :]
+                cross_probs = jax.nn.softmax(cross_logits, axis=-1)
+                pw = (cross_probs * cv_s[:, :, None, :] if cross_q8
+                      else cross_probs).astype(qc.dtype)
+                oc = jnp.einsum("uhqk,uhkd->uhqd", pw, cv.astype(qc.dtype),
+                                preferred_element_type=jnp.float32
+                                ).astype(qc.dtype)
+                cross_probs = (cross_probs.reshape(U, H, G, T, ta)
+                               .transpose(0, 2, 1, 3, 4).reshape(B, H, T, ta))
             oc = (oc.reshape(U, H, G, T, dh)
                     .transpose(0, 2, 1, 3, 4).reshape(B, H, T, dh))
-            cross_probs = (cross_probs.reshape(U, H, G, T, ta)
-                           .transpose(0, 2, 1, 3, 4).reshape(B, H, T, ta))
+        elif use_flash_cross:
+            from whisper_tpu.ops.flash_attention import flash_attention
+            oc = flash_attention(qc, ck.astype(qc.dtype), cv.astype(qc.dtype),
+                                 block_q=256)
         else:
             cross_logits = jnp.einsum("bhqd,bhkd->bhqk", qc, ck.astype(qc.dtype),
                                       preferred_element_type=jnp.float32) * scale
@@ -471,6 +545,21 @@ def decoder_forward(
     def body_carry(carry, scanned):
         x, kvs_full = carry
         blk, ck, cv, li = scanned
+
+        if split and fork_src is not None:
+            # the split path persists the beam fork by permuting this
+            # layer's slice in the CARRY before it is read (pay-per-fork
+            # cond; the attention then reads raw, fork-free history)
+            def prefork(full):
+                out = []
+                for a in full:
+                    sl = lax.dynamic_index_in_dim(a, li, 0, keepdims=False)
+                    out.append(lax.dynamic_update_index_in_dim(
+                        a, sl[fork_src], li, 0))
+                return tuple(out)
+
+            kvs_full = lax.cond(fork_needed, prefork, lambda f: f, kvs_full)
+
         kvs_l = tuple(lax.dynamic_index_in_dim(a, li, 0, keepdims=False)
                       for a in kvs_full)
         x, extras = body(x, (blk, kvs_l, ck, cv))
@@ -478,8 +567,8 @@ def decoder_forward(
 
         def slice_wb(full):
             """Persist the whole updated layer slice (needed when the
-            slice was permuted by a beam fork or rows wrote at per-row
-            positions)."""
+            slice was permuted by a read-time beam fork or rows wrote at
+            per-row positions)."""
             return tuple(lax.dynamic_update_index_in_dim(a, n, li, 0)
                          for a, n in zip(full, new_layer))
 
@@ -508,7 +597,7 @@ def decoder_forward(
                         a, r[None], (li, 0, 0, pos0) + (0,) * tail))
                 return tuple(out)
 
-        if fork_src is None:
+        if split or fork_src is None:
             kvs_full = row_wb(kvs_full)
         else:
             kvs_full = lax.cond(fork_needed, slice_wb, row_wb, kvs_full)

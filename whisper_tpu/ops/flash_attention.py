@@ -51,39 +51,47 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, t_real: int):
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     block_q: int = 512, interpret: bool | None = None) -> jax.Array:
     """Unmasked MHA: softmax(q k^T / sqrt(d)) v, fused per (batch*head,
-    q-block). Numerically matches models/whisper.attention (f32 softmax)."""
+    q-block). Numerically matches models/whisper.attention (f32 softmax).
+
+    q may have a different sequence length than k/v (cross-attention: the
+    decoder's prompt pass contracts T_prompt queries against 1500 encoder
+    frames; materializing those (B, H, Tq, 1500) f32 score stages cost
+    ~1.7 GB x softmax pipeline at serving batch — r5)."""
     B, H, T, D = q.shape
+    Tk = k.shape[2]
     scale = D ** -0.5
 
     t_pad = -(-T // block_q) * block_q
     if t_pad != T:
-        pad = ((0, 0), (0, 0), (0, t_pad - T), (0, 0))
-        q = jnp.pad(q, pad)
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, t_pad - T), (0, 0)))
+    tk_pad = -(-Tk // 128) * 128
+    if tk_pad != Tk:
+        pad = ((0, 0), (0, 0), (0, tk_pad - Tk), (0, 0))
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
 
     qf = q.reshape(B * H, t_pad, D)
-    kf = k.reshape(B * H, t_pad, D)
-    vf = v.reshape(B * H, t_pad, D)
+    kf = k.reshape(B * H, tk_pad, D)
+    vf = v.reshape(B * H, tk_pad, D)
 
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu",)
 
     grid = (B * H, t_pad // block_q)
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale, t_real=T),
+        functools.partial(_attn_kernel, scale=scale, t_real=Tk),
         out_shape=jax.ShapeDtypeStruct((B * H, t_pad, D), q.dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, D), lambda bh, i: (bh, i, 0)),
-            pl.BlockSpec((1, t_pad, D), lambda bh, i: (bh, 0, 0)),
-            pl.BlockSpec((1, t_pad, D), lambda bh, i: (bh, 0, 0)),
+            pl.BlockSpec((1, tk_pad, D), lambda bh, i: (bh, 0, 0)),
+            pl.BlockSpec((1, tk_pad, D), lambda bh, i: (bh, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, D), lambda bh, i: (bh, i, 0)),
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * block_q * t_pad * D,
-            bytes_accessed=(block_q * D + 2 * t_pad * D + block_q * D) * 2,
-            transcendentals=block_q * t_pad,
+            flops=2 * 2 * block_q * tk_pad * D,
+            bytes_accessed=(block_q * D + 2 * tk_pad * D + block_q * D) * 2,
+            transcendentals=block_q * tk_pad,
         ),
         interpret=interpret,
     )(qf, kf, vf)

@@ -333,13 +333,16 @@ def find_decode_loops(comps: Dict[str, Computation]):
             carry = sum(_shape_bytes(s)
                         for s in re.findall(r"\w+\[[\d,]*\]", ins.shape))
             whiles.append((c.name, m.group(1), carry))
-    body_of = {b: (c, carry) for c, b, carry in whiles}
-    best, token_body, layer_body = -1, None, None
+    best, token_body, layer_body = (-1, -1), None, None
     for c, b, carry in whiles:
         for c2, b2, carry2 in whiles:
             if c2 == b:      # inner while lives in outer's body
-                if carry + carry2 > best:
-                    best, token_body, layer_body = carry + carry2, b, b2
+                # the layer scan is the BIG inner body (hundreds of
+                # instructions); helper loops (e.g. chunked fork gathers)
+                # also carry cache-sized buffers but have tiny bodies
+                score = (len(comps[b2].instrs), carry + carry2)
+                if score > best:
+                    best, token_body, layer_body = score, b, b2
     return token_body, layer_body
 
 
