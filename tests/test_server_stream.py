@@ -390,3 +390,32 @@ def test_server_lane_refill_over_max_batch(model_file, wav_bytes):
         assert 0.0 < disp.last_occupancy <= 1.0
     finally:
         httpd.shutdown()
+
+
+def test_health_reports_batching_stats(model_file, wav_bytes):
+    """/health exposes continuous-batching stats once the dispatcher has
+    run a group (batches/rows/lane occupancy)."""
+    from whisper_tpu.serving.server import serve
+
+    httpd = serve(model_file, "127.0.0.1", 0, batch_window_ms=200,
+                  max_batch=2)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        body, ctype = _multipart({"file": wav_bytes, "no_timestamps": "true",
+                                  "temperature_inc": "0.0"})
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/inference", data=body,
+            headers={"Content-Type": ctype})
+        with urllib.request.urlopen(req, timeout=600) as r:
+            json.load(r)
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/health", timeout=60) as r:
+            doc = json.load(r)
+        assert doc["status"] == "ok"
+        b = doc["batching"]
+        assert b["batches"] >= 1 and b["rows"] >= 1
+        assert 0.0 < b["last_lane_occupancy"] <= 1.0
+    finally:
+        httpd.shutdown()

@@ -259,8 +259,18 @@ def make_handler(server_state: ServerState):
         def do_GET(self):
             if self.path == "/health":
                 ok = server_state.ctx is not None
-                self._send(200 if ok else 503,
-                           json.dumps({"status": "ok" if ok else "no model loaded"}))
+                doc = {"status": "ok" if ok else "no model loaded"}
+                # continuous-batching observability (beyond the reference
+                # server): batch counts and the last group's lane occupancy
+                disp = server_state.dispatcher
+                if disp is not None:
+                    doc["batching"] = {
+                        "batches": disp.n_batches,
+                        "rows": disp.n_rows,
+                        "max_rows": disp.max_rows,
+                        "last_lane_occupancy": disp.last_occupancy,
+                    }
+                self._send(200 if ok else 503, json.dumps(doc))
             else:
                 self._send(404, json.dumps({"error": "not found"}))
 
