@@ -309,6 +309,17 @@ def largev3_beam5_compile_check() -> dict:
         sdec = programs.lower_speculative(ab, k_spec=8).compile()
         out["decode_window_speculative_k8"] = {
             "compile_s": round(_t.perf_counter() - t0, 1), **mem(sdec)}
+        try:
+            aud = audit_decode_program(sdec, hp.n_text_layer)
+            if aud.get("per_token_gb"):
+                # per verify ROUND here (draft steps + one main verify);
+                # PERF.md's speculative model predicts ~4.0 GB at k=8
+                out["decode_window_speculative_k8"]["hbm_audit"] = {
+                    "per_round_gb": aud["per_token_gb"],
+                    "xla_bytes_accessed_gb": aud["xla_bytes_accessed_gb"],
+                }
+        except Exception:
+            pass
     except Exception as e:  # never break the bench line
         out["decode_window_speculative_k8"] = {"error": str(e)[:200]}
     out["hbm_peak_gb"] = round(
